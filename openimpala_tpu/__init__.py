@@ -1,0 +1,49 @@
+"""openimpala_tpu — TPU-native image-based transport homogenisation.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of
+kramergroup/openImpala (reference: /root/reference): ingest segmented 3-D
+tomography volumes (TIFF / HDF5 / DAT / RAW), solve steady-state diffusion /
+conduction on the voxel grid with masked 7-point finite-difference stencils,
+and report homogenised transport properties: volume fraction, flow-through
+tortuosity, and the effective-diffusivity tensor D_eff.
+
+Architecture (TPU-first, not a port):
+
+- ``parallel/``  device mesh + halo exchange (``shard_map`` + ``ppermute``)
+  replacing AMReX ``BoxArray``/``DistributionMapping``/``FillBoundary``.
+- ``grid/``      sharded volume container replacing ``MultiFab``.
+- ``ops/``       masked stencil operators (pure-XLA and Pallas TPU kernels)
+  replacing the Fortran fill kernels + Hypre StructMatrix — the solve is
+  matrix-free.
+- ``solve/``     Krylov (CG / FlexGMRES / BiCGSTAB) + geometric multigrid
+  preconditioning + mixed-precision iterative refinement, replacing Hypre
+  FlexGMRES(SMG/PFMG).
+- ``props/``     physics drivers: volume fraction, percolation masking,
+  tortuosity, effective diffusivity, REV study, explicit baseline solver.
+- ``io/``        host-side readers/writers (TIFF/HDF5/DAT/RAW in; results.txt,
+  REV CSV, HDF5+XDMF volumes, cathode parameter exporters out), with an
+  optional native C++ decode path.
+
+Precision policy: double precision is required for the reference's 1e-9
+relative-residual and 1e-6 flux-conservation acceptance gates.  We enable
+jax x64 support on import (opt out with ``OPENIMPALA_NO_X64=1``); the hot
+solver path still runs float32 on TPU with float64 iterative refinement on
+top (see ``solve/refine.py``), so enabling x64 does not slow the kernels.
+"""
+
+import os as _os
+
+if _os.environ.get("OPENIMPALA_NO_X64", "0") != "1":
+    import jax as _jax
+
+    _jax.config.update("jax_enable_x64", True)
+
+__version__ = "0.1.0"
+
+from . import ops, parallel, props, solve  # noqa: E402,F401
+from .props.volume_fraction import volume_fraction  # noqa: E402,F401
+from .props.tortuosity import tortuosity  # noqa: E402,F401
+from .props.effective_diffusivity import (  # noqa: E402,F401
+    effective_diffusivity,
+    deff_tensor,
+)

@@ -1,0 +1,271 @@
+"""Masked 7-point stencil systems, matrix-free.
+
+Reproduces the reference's two operators exactly (same linear systems, same
+solutions), but as fused mask logic instead of assembled matrices:
+
+**Flow-through (tortuosity) operator** — reference
+``src/props/TortuosityHypreFill.F90:44-262``:
+
+* inactive cells (wrong phase or not percolating): identity row, rhs 0;
+* active cells: ``a_c = sum_f w_f m_f``, off-diagonal ``-w_f`` to each
+  *active* neighbour ``f`` (``w_f = 1/dx_f^2``); homogeneous Neumann at
+  blocked faces by omission; rhs 0;
+* active cells on the inlet/outlet plane of ``dir``: Dirichlet overwrite,
+  identity row with rhs vlo/vhi (``TortuosityHypreFill.F90:188-228``).
+
+**Periodic cell problem (homogenisation) operator** — reference
+``src/props/EffDiffFillMtx.F90:42-264``:
+
+* solid cells: identity row;
+* active cells: diagonal ``sum over ALL 6 faces of w_f`` (interface faces
+  contribute to the diagonal but have no off-diagonal — the internal-Neumann
+  ghost elimination), off-diagonal ``-w_f`` to active neighbours, periodic
+  wrap;
+* rhs = ``-(D_{+k}-D_{-k})/(2 dx_k)`` plus interface flux terms ``±1/dx_k``
+  on faces normal to ``k`` (``EffDiffFillMtx.F90:156-232``).
+
+Both are solved in *eliminated* form: forced rows (inactive + Dirichlet) are
+removed by construction and the Krylov iteration runs on the free set, where
+the operator is symmetric positive (semi-)definite — so CG applies, unlike
+the reference's identity-row formulation which is non-symmetric and needs
+(Flex)GMRES.  The full-system solution and Hypre's relative-residual
+convergence criterion are reproduced exactly (see ``StencilSystem``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from ..parallel.halo import pad_halo
+
+Axis = int  # 0=X, 1=Y, 2=Z (matches reference Direction enum)
+
+
+def neighbor_sum(x, w, periodic):
+    """sum_f w_f * x(neighbour_f) for the 6 face neighbours.
+
+    Out-of-domain neighbours contribute 0 on clamped axes and wrap on
+    periodic axes.  ``x`` must be zero on inactive cells (library invariant),
+    which makes the mask multiplication implicit — see module docstring.
+    """
+    xp = pad_halo(x, periodic)
+    return (
+        w[0] * (xp[:-2, 1:-1, 1:-1] + xp[2:, 1:-1, 1:-1])
+        + w[1] * (xp[1:-1, :-2, 1:-1] + xp[1:-1, 2:, 1:-1])
+        + w[2] * (xp[1:-1, 1:-1, :-2] + xp[1:-1, 1:-1, 2:])
+    )
+
+
+def weighted_degree(active, w, periodic, dtype):
+    """Diagonal of the tortuosity operator: sum_f w_f * active(neighbour_f).
+
+    (The reference accumulates ``coeff`` into the diagonal once per *active*
+    neighbour, ``TortuosityHypreFill.F90:126-166``.)
+    """
+    return neighbor_sum(active.astype(dtype), w, periodic)
+
+
+def apply_restricted(x, diag, free, w, periodic):
+    """Action of the free-set operator: ``free ? diag*x - sum w x_nbr : 0``."""
+    return jnp.where(free, diag * x - neighbor_sum(x, w, periodic), jnp.zeros((), x.dtype))
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class StencilSystem:
+    """A masked-Laplacian linear system in eliminated (free-set) form.
+
+    The full system is ``A_full x_full = b_full`` where forced rows
+    (inactive cells, Dirichlet planes) are identity rows.  We solve the
+    equivalent restricted problem ``A z = r0`` with ``z`` supported on
+    ``free``, ``x_full = x_forced + z``, and
+
+        r0 = free * (b_full - A_full @ x_forced)
+
+    Because the forced rows of ``x_forced`` are exact, the *full-system*
+    residual of ``x_forced + z`` equals the restricted residual, so Hypre's
+    convergence criterion ``||b - A x||_2 / ||b_full||_2 <= eps``
+    (``TortuosityHypre.cpp:686-688``) is reproduced with ``b_norm``.
+    """
+
+    diag: jax.Array  # diagonal on active cells (array, or scalar 0-d array)
+    free: jax.Array  # bool: rows being solved
+    x_forced: jax.Array  # forced values (Dirichlet / zeros); 0 on free cells
+    r0_b: jax.Array  # b_full restricted to free rows (before x_forced fold-in)
+    b_norm: jax.Array  # ||b_full||_2 (Hypre-compatible denominator)
+    w: tuple = dataclasses.field(metadata=dict(static=True))
+    periodic: tuple = dataclasses.field(metadata=dict(static=True))
+
+    def apply(self, x):
+        return apply_restricted(x, self.diag, self.free, self.w, self.periodic)
+
+    def initial_residual(self, x0_free):
+        """r0 for the Krylov solve starting at z = x0_free (on free set)."""
+        x_start = self.x_forced + x0_free
+        return jnp.where(
+            self.free, self.r0_b - self.apply_full(x_start), jnp.zeros((), x0_free.dtype)
+        )
+
+    def apply_full(self, x):
+        """Like apply() but without zeroing non-free rows' neighbour reads:
+        identical expression — apply() already reads neighbours from the full
+        array; kept for clarity at call sites."""
+        return apply_restricted(x, self.diag, self.free, self.w, self.periodic)
+
+    def assemble_solution(self, z):
+        return self.x_forced + jnp.where(self.free, z, jnp.zeros((), z.dtype))
+
+    def astype(self, dtype) -> "StencilSystem":
+        """Cast the float fields (for the float32 inner solve of iterative
+        refinement).  The diagonal is a small integer multiple of the stencil
+        weights, exactly representable in float32 for unit spacing."""
+        return dataclasses.replace(
+            self,
+            diag=self.diag.astype(dtype),
+            x_forced=self.x_forced.astype(dtype),
+            r0_b=self.r0_b.astype(dtype),
+            b_norm=self.b_norm.astype(dtype),
+        )
+
+
+def _weights(dx):
+    return tuple(1.0 / (float(d) * float(d)) for d in dx)
+
+
+def make_tortuosity_system(
+    active,
+    direction: Axis,
+    vlo: float,
+    vhi: float,
+    dx=(1.0, 1.0, 1.0),
+    dtype=jnp.float64,
+) -> StencilSystem:
+    """Build the flow-through system for a percolation mask ``active``.
+
+    ``active`` is the double-flood-fill percolation mask (cells of the target
+    phase reachable from BOTH inlet and outlet faces,
+    ``TortuosityHypre.cpp:526-538``).  Boundary conditions are Dirichlet
+    vlo/vhi on the inlet/outlet planes of ``direction`` and no-flux
+    elsewhere; the geometry is non-periodic (``Diffusion.cpp:671-677``).
+
+    The initial iterate is the reference's linear ramp restricted to active
+    cells (``TortuosityHypreFill.F90:233-262``) — pass
+    ``linear_ramp(...)`` based x0 via ``initial_residual``.
+    """
+    periodic = (False, False, False)
+    w = _weights(dx)
+    active = active.astype(bool)
+    shape = active.shape
+    n = shape[direction]
+
+    idx = jnp.arange(n)
+    idx = idx.reshape([-1 if a == direction else 1 for a in range(3)])
+    on_lo = (idx == 0) & active
+    on_hi = (idx == n - 1) & active
+    dirichlet = on_lo | on_hi
+    free = active & ~dirichlet
+
+    diag = weighted_degree(active, w, periodic, dtype)
+
+    x_forced = jnp.where(on_lo, dtype(vlo), jnp.zeros(shape, dtype))
+    x_forced = jnp.where(on_hi, dtype(vhi), x_forced)
+
+    r0_b = jnp.zeros(shape, dtype)  # rhs of free rows is 0
+    # ||b_full||^2 = vlo^2 * #active(lo plane) + vhi^2 * #active(hi plane)
+    n_lo = jnp.sum(on_lo, dtype=dtype)
+    n_hi = jnp.sum(on_hi, dtype=dtype)
+    b_norm = jnp.sqrt(vlo * vlo * n_lo + vhi * vhi * n_hi)
+
+    return StencilSystem(
+        diag=diag, free=free, x_forced=x_forced, r0_b=r0_b, b_norm=b_norm,
+        w=w, periodic=periodic,
+    )
+
+
+def make_cell_problem_system(
+    active,
+    direction_k: Axis,
+    dx=(1.0, 1.0, 1.0),
+    dtype=jnp.float64,
+) -> StencilSystem:
+    """Build the periodic homogenisation cell problem for chi_k.
+
+    ``active`` is the plain phase mask (no percolation filter — reference
+    ``EffectiveDiffusivityHypre.cpp:213-323``); all axes periodic
+    (``HYPRE_StructGridSetPeriodic``, ``EffectiveDiffusivityHypre.cpp:326-399``).
+    """
+    periodic = (True, True, True)
+    w = _weights(dx)
+    active = active.astype(bool)
+    shape = active.shape
+
+    # diagonal: every face contributes w_f whether or not the neighbour is
+    # active (interface faces add to the diagonal only) —
+    # EffDiffFillMtx.F90:156-221.
+    diag = jnp.asarray(2.0 * (w[0] + w[1] + w[2]), dtype)
+
+    m = active.astype(dtype)
+    mp = pad_halo(m, periodic)
+    sl = [slice(1, -1)] * 3
+    lo_sl, hi_sl = list(sl), list(sl)
+    lo_sl[direction_k] = slice(0, -2)
+    hi_sl[direction_k] = slice(2, None)
+    m_minus = mp[tuple(lo_sl)]
+    m_plus = mp[tuple(hi_sl)]
+
+    inv_2d = 1.0 / (2.0 * float(dx[direction_k]))
+    inv_d = 1.0 / float(dx[direction_k])
+    # rhs = -(D+ - D-)/(2 dx)                     (EffDiffFillMtx.F90:225-232)
+    #     + (1 - m_-) / dx  - (1 - m_+) / dx      (interface flux, :156-221)
+    rhs = -(m_plus - m_minus) * inv_2d + (1.0 - m_minus) * inv_d - (1.0 - m_plus) * inv_d
+    rhs = jnp.where(active, rhs, jnp.zeros((), dtype))
+
+    b_norm = jnp.sqrt(jnp.sum(rhs * rhs))
+    free = active
+    return StencilSystem(
+        diag=diag, free=free, x_forced=jnp.zeros(shape, dtype), r0_b=rhs,
+        b_norm=b_norm, w=w, periodic=periodic,
+    )
+
+
+def check_operator_properties(system: StencilSystem, active, direction=None) -> dict:
+    """Structural verification of the operator, the port of
+    ``TortuosityHypre::checkMatrixProperties`` (``TortuosityHypre.cpp:896-982``).
+
+    Checks, on the *full* system reconstructed from the matrix-free form:
+    finite coefficients; inactive rows are identity with rhs 0; Dirichlet
+    rows identity with rhs vlo/vhi (validated by the caller against
+    ``x_forced``); active interior rows have positive diagonal, zero rhs and
+    (for the tortuosity operator) zero row sum.  Returns a dict of bools.
+    """
+    active = active.astype(bool)
+    w = system.w
+    dtype = system.diag.dtype if hasattr(system.diag, "dtype") else jnp.float64
+    degree = weighted_degree(active, w, system.periodic, dtype)
+    diag = jnp.broadcast_to(system.diag, active.shape)
+    offdiag_sum = -degree  # sum of off-diagonals on active rows
+    row_sum = jnp.where(active, diag + offdiag_sum, jnp.zeros((), dtype))
+
+    interior = system.free
+    out = {
+        "finite": bool(
+            jnp.all(jnp.isfinite(diag))
+            & jnp.all(jnp.isfinite(system.r0_b))
+            & jnp.all(jnp.isfinite(system.x_forced))
+        ),
+        "diag_positive_on_free": bool(jnp.all(jnp.where(interior, diag > 0, True))),
+        "rhs_zero_on_free": True,
+        "row_sum": row_sum,
+    }
+    if not system.periodic[0]:
+        # tortuosity operator: zero row sum on active interior rows
+        out["rhs_zero_on_free"] = bool(jnp.all(jnp.where(interior, system.r0_b == 0, True)))
+        out["row_sum_zero_on_free"] = bool(
+            jnp.all(jnp.where(interior, jnp.abs(row_sum) < 1e-12, True))
+        )
+    return out

@@ -1,0 +1,113 @@
+"""Homogenised effective-diffusivity tensor driver.
+
+TPU-native re-design of ``OpenImpala::EffectiveDiffusivityHypre``
+(``src/props/EffectiveDiffusivityHypre.{H,cpp}``) plus the tensor
+integration in the app driver (``Diffusion.cpp:60-167``):
+
+solve the periodic corrector (cell) problems
+
+    div( D grad chi_k ) = -div( D e_k ),   D = 1 in the target phase else 0
+
+for k in {X, Y, Z} with periodic BCs and internal Neumann at pore-solid
+interfaces (exact reference discretisation — see
+ops/stencil.py::make_cell_problem_system), then volume-average
+
+    D_eff[a][b] = (1/N_total) * sum_active ( delta_ab - d chi_b / d xi_a ).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.flux import deff_integrand_sum
+from ..ops.masks import phase_mask
+from ..ops.stencil import make_cell_problem_system
+from ..solve.refine import solve_system
+from ..utils.common import parse_direction
+
+
+@dataclasses.dataclass
+class EffectiveDiffusivityResult:
+    deff: np.ndarray  # (3,3) tensor, NaN if any solve failed
+    converged: bool
+    iterations: tuple
+    rel_res: tuple
+    volume_fraction: float  # active-phase VF (D=1 fraction)
+    chi: tuple = None  # (chi_x, chi_y, chi_z) fields if return_fields
+
+
+def effective_diffusivity(
+    phase,
+    phase_id: int,
+    eps: float = 1e-9,
+    maxiter: int = 20000,
+    method: str = "cg",
+    precond: str = "mg",
+    dx=(1.0, 1.0, 1.0),
+    inner_dtype=jnp.float32,
+    dtype=jnp.float64,
+    return_fields: bool = False,
+    verbose: int = 0,
+) -> EffectiveDiffusivityResult:
+    phase_j = jnp.asarray(np.asarray(phase))
+    active = phase_mask(phase_j, phase_id)
+    n_active = int(jnp.sum(active))
+    n_total = int(np.prod(phase.shape))
+    vf = n_active / n_total
+
+    if n_active == 0:
+        # zero-active shortcut: chi = 0, converged
+        # (EffectiveDiffusivityHypre.cpp:558-570)
+        zeros = jnp.zeros(phase.shape, dtype)
+        chis = (zeros, zeros, zeros)
+        deff = np.zeros((3, 3))
+        return EffectiveDiffusivityResult(
+            deff=deff, converged=True, iterations=(0, 0, 0), rel_res=(0.0, 0.0, 0.0),
+            volume_fraction=0.0, chi=chis if return_fields else None,
+        )
+
+    chis, iters, rels, convs = [], [], [], []
+    for k in range(3):
+        system = make_cell_problem_system(active, k, dx, dtype=dtype)
+        x0 = jnp.zeros(phase.shape, dtype)  # xinit = 0 (EffDiffFillMtx.F90:126)
+        chi_k, info = solve_system(
+            system, x0, eps=eps, maxiter=maxiter, method=method, precond=precond,
+            inner_dtype=inner_dtype,
+        )
+        chis.append(chi_k)
+        iters.append(int(info.iterations))
+        rels.append(float(info.rel_res))
+        convs.append(bool(info.converged))
+        if verbose > 0:
+            print(f"  chi_{'xyz'[k]}: iters={iters[-1]} rel_res={rels[-1]:.3e} "
+                  f"converged={convs[-1]}")
+
+    converged = all(convs)
+    if converged:
+        deff = np.asarray(
+            deff_tensor(chis[0], chis[1], chis[2], active, dx, n_total=n_total)
+        )
+    else:
+        deff = np.full((3, 3), math.nan)
+
+    return EffectiveDiffusivityResult(
+        deff=deff, converged=converged, iterations=tuple(iters),
+        rel_res=tuple(rels), volume_fraction=vf,
+        chi=tuple(chis) if return_fields else None,
+    )
+
+
+def deff_tensor(chi_x, chi_y, chi_z, active, dx=(1.0, 1.0, 1.0), n_total=None):
+    """D_eff from solved corrector fields — ``Diffusion.cpp:60-167``.
+
+    The sum is over active cells; the divisor is the TOTAL domain cell count
+    (``Diffusion.cpp:152-158``), not the active count.
+    """
+    if n_total is None:
+        n_total = int(np.prod(active.shape))
+    s = deff_integrand_sum(chi_x, chi_y, chi_z, active, dx)
+    return s / n_total

@@ -1,0 +1,152 @@
+"""Flow-through tortuosity driver.
+
+TPU-native re-design of ``OpenImpala::TortuosityHypre``
+(``src/props/TortuosityHypre.{H,cpp}``):
+
+1. optional remspot filter (``TortuosityHypre.cpp:248-292``, default 0 passes)
+2. percolation mask: double flood fill from inlet/outlet faces, AND
+   (``:394-558``); active VF = n_active / n_total
+3. masked-Laplacian Dirichlet solve, matrix-free (CG + multigrid by default;
+   float32 Krylov + float64 iterative refinement on TPU)
+4. boundary-flux integration + conservation gate rel_diff <= 1e-6
+   (``:794-823``)
+5. tau = active_vf / Deff with Deff = (avg|flux|/A)/|grad phi|
+   (``:831-877``), NaN/Inf edge-case policy identical to the reference.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.filters import remspot
+from ..ops.floodfill import percolation_mask
+from ..ops.flux import boundary_fluxes
+from ..ops.masks import linear_ramp
+from ..ops.stencil import make_tortuosity_system
+from ..solve.refine import solve_system
+from ..utils.common import parse_direction
+
+TINY_FLUX = 1e-15  # reference tiny_flux_threshold, TortuosityHypre.cpp:64
+FLUX_TOL = 1e-6  # reference flux conservation gate, TortuosityHypre.cpp:794
+
+
+@dataclasses.dataclass
+class TortuosityResult:
+    value: float  # tau (NaN / Inf per reference edge cases)
+    deff: float
+    active_vf: float
+    flux_in: float
+    flux_out: float
+    flux_rel_diff: float
+    flux_conserved: bool
+    iterations: int
+    rel_res: float
+    converged: bool
+    direction: int
+    phi: object = None  # potential field (if return_fields)
+    active: object = None  # percolation mask (if return_fields)
+
+
+def tortuosity(
+    phase,
+    phase_id: int,
+    direction,
+    vlo: float = -1.0,
+    vhi: float = 1.0,
+    eps: float = 1e-9,
+    maxiter: int = 20000,
+    method: str = "cg",
+    precond: str = "mg",
+    dx=(1.0, 1.0, 1.0),
+    remspot_passes: int = 0,
+    percolation_method: str = "auto",
+    inner_dtype=jnp.float32,
+    dtype=jnp.float64,
+    return_fields: bool = False,
+    verbose: int = 0,
+) -> TortuosityResult:
+    direction = parse_direction(direction)
+    shape = phase.shape
+
+    if remspot_passes > 0:
+        phase = np.asarray(remspot(jnp.asarray(phase), remspot_passes))
+
+    active, active_vf = percolation_mask(
+        phase, phase_id, direction, method=percolation_method
+    )
+
+    nanres = TortuosityResult(
+        value=math.nan, deff=math.nan, active_vf=active_vf,
+        flux_in=0.0, flux_out=0.0, flux_rel_diff=math.nan, flux_conserved=False,
+        iterations=0, rel_res=math.nan, converged=False, direction=direction,
+    )
+    if active_vf <= np.finfo(np.float64).eps:
+        # zero percolation: NaN, matching TortuosityHypre.cpp:170-178,764-777
+        return nanres
+
+    active_j = jnp.asarray(np.asarray(active))
+    system = make_tortuosity_system(active_j, direction, vlo, vhi, dx, dtype=dtype)
+    ramp = linear_ramp(shape, direction, vlo, vhi, dtype=dtype)
+    x0_free = jnp.where(system.free, ramp, jnp.zeros((), dtype))
+
+    x_full, info = solve_system(
+        system, x0_free, eps=eps, maxiter=maxiter, method=method, precond=precond,
+        inner_dtype=inner_dtype,
+    )
+    iterations = int(info.iterations)
+    rel_res = float(info.rel_res)
+    converged = bool(info.converged)
+    if verbose > 0:
+        print(f"  Solver iterations: {iterations}  rel_res: {rel_res:.3e}  "
+              f"converged: {converged}")
+    if not converged:
+        return dataclasses.replace(
+            nanres, iterations=iterations, rel_res=rel_res,
+            phi=x_full if return_fields else None,
+            active=active if return_fields else None,
+        )
+
+    flux_in, flux_out = boundary_fluxes(x_full, active_j, direction, dx)
+    flux_in, flux_out = float(flux_in), float(flux_out)
+    mag_in, mag_out = abs(flux_in), abs(flux_out)
+    mag_avg = 0.5 * (mag_in + mag_out)
+    if mag_avg > TINY_FLUX:
+        rel_diff = abs(mag_in - mag_out) / mag_avg
+        flux_conserved = rel_diff <= FLUX_TOL
+    else:
+        rel_diff, flux_conserved = 0.0, True
+    if verbose > 0:
+        print(f"  Flux in/out: {flux_in:.8f} / {flux_out:.8f}  "
+              f"rel_diff: {rel_diff:.3e}  conserved: {flux_conserved}")
+
+    # geometry: RealBox is [0, N_d * dx_d] per axis (Diffusion.cpp:302-305)
+    L = shape[direction] * float(dx[direction])
+    others = [a for a in range(3) if a != direction]
+    A = (shape[others[0]] * float(dx[others[0]])) * (
+        shape[others[1]] * float(dx[others[1]])
+    )
+    grad_phi = (vhi - vlo) / L
+
+    # tau computation + edge cases (TortuosityHypre.cpp:843-877)
+    if not flux_conserved:
+        value, deff = math.nan, math.nan
+    elif mag_avg < TINY_FLUX:
+        value, deff = math.inf, 0.0
+    elif abs(grad_phi) < TINY_FLUX:
+        value, deff = math.inf, 0.0
+    else:
+        deff = (mag_avg / A) / abs(grad_phi)
+        value = math.inf if abs(deff) < TINY_FLUX else active_vf / deff
+
+    return TortuosityResult(
+        value=value, deff=deff, active_vf=active_vf,
+        flux_in=flux_in, flux_out=flux_out, flux_rel_diff=rel_diff,
+        flux_conserved=flux_conserved, iterations=iterations, rel_res=rel_res,
+        converged=converged, direction=direction,
+        phi=x_full if return_fields else None,
+        active=active if return_fields else None,
+    )

@@ -1,0 +1,120 @@
+"""Restarted flexible GMRES.
+
+Parity with the reference's solver surface (Hypre ``StructFlexGMRES``,
+``TortuosityHypre.cpp:664-692``).  On our *eliminated* SPD systems CG is the
+better method, so FGMRES exists for (a) the config surface
+(``solver = FlexGMRES``), (b) variable preconditioners (each restart cycle
+stores the preconditioned vectors Z, hence "flexible"), and (c) any future
+non-symmetric operator.
+
+Memory note: a restart cycle holds ``restart+1`` basis fields plus
+``restart`` Z fields — keep ``restart`` modest for large volumes (the
+reference's effective Krylov depth with an SMG/PFMG preconditioner is tens
+of iterations anyway).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .cg import SolveResult, _dot
+
+
+@partial(jax.jit, static_argnames=("maxiter", "precond", "restart"))
+def _fgmres_loop(system, r0, denom, eps, maxiter: int, precond, restart: int):
+    dtype = r0.dtype
+    shape = r0.shape
+    m = restart
+    eps = jnp.asarray(eps, dtype)
+    denom = jnp.asarray(denom, dtype)
+    M = precond if precond is not None else (lambda r: r)
+    tiny = jnp.asarray(1e-30, dtype)
+
+    def arnoldi_cycle(z, r):
+        beta = jnp.sqrt(_dot(r, r))
+        safe_beta = jnp.where(beta > 0, beta, 1.0)
+        V = jnp.zeros((m + 1,) + shape, dtype).at[0].set(r / safe_beta)
+        Z = jnp.zeros((m,) + shape, dtype)
+        H = jnp.zeros((m + 1, m), dtype)
+        cs = jnp.zeros((m,), dtype)
+        sn = jnp.zeros((m,), dtype)
+        g = jnp.zeros((m + 1,), dtype).at[0].set(beta)
+
+        def body(j, carry):
+            V, Z, H, cs, sn, g = carry
+            zj = M(V[j])
+            wv = system.apply(zj)
+            # modified Gram-Schmidt
+            def mgs(i, wh):
+                w, h = wh
+                hij = _dot(w, V[i])
+                mask = i <= j
+                hij = jnp.where(mask, hij, 0.0)
+                w = w - hij * V[i]
+                return w, h.at[i].set(hij)
+
+            w, hcol = jax.lax.fori_loop(0, m + 1, mgs, (wv, jnp.zeros((m + 1,), dtype)))
+            hj1 = jnp.sqrt(_dot(w, w))
+            hcol = hcol.at[j + 1].set(hj1)
+            V = V.at[j + 1].set(w / jnp.where(hj1 > tiny, hj1, 1.0))
+            Z = Z.at[j].set(zj)
+
+            # apply previous Givens rotations to the new column
+            def rot(i, col):
+                mask = i < j
+                t = cs[i] * col[i] + sn[i] * col[i + 1]
+                b = -sn[i] * col[i] + cs[i] * col[i + 1]
+                col = col.at[i].set(jnp.where(mask, t, col[i]))
+                col = col.at[i + 1].set(jnp.where(mask, b, col[i + 1]))
+                return col
+
+            hcol = jax.lax.fori_loop(0, m, rot, hcol)
+            # new rotation annihilating hcol[j+1]
+            rho = jnp.sqrt(hcol[j] ** 2 + hcol[j + 1] ** 2)
+            rho_safe = jnp.where(rho > tiny, rho, 1.0)
+            c, s = hcol[j] / rho_safe, hcol[j + 1] / rho_safe
+            cs = cs.at[j].set(c)
+            sn = sn.at[j].set(s)
+            hcol = hcol.at[j].set(rho).at[j + 1].set(0.0)
+            gj = g[j]
+            g = g.at[j].set(c * gj).at[j + 1].set(-s * gj)
+            H = H.at[:, j].set(hcol)
+            return V, Z, H, cs, sn, g
+
+        V, Z, H, cs, sn, g = jax.lax.fori_loop(0, m, body, (V, Z, H, cs, sn, g))
+        # back-substitution: H[:m,:m] (upper triangular) y = g[:m]
+        Hm = H[:m, :m] + jnp.where(
+            jnp.abs(jnp.diagonal(H[:m, :m])) > tiny, 0.0, tiny
+        ) * jnp.eye(m, dtype=dtype)
+        y = jax.scipy.linalg.solve_triangular(Hm, g[:m], lower=False)
+        z_new = z + jnp.tensordot(y, Z, axes=1)
+        r_new = r0 - system.apply(z_new)
+        return z_new, r_new
+
+    z0 = jnp.zeros_like(r0)
+    rel0 = jnp.sqrt(_dot(r0, r0)) / denom
+    n_cycles = max(1, -(-maxiter // m))
+
+    def cond(state):
+        _, _, it, rel, done = state
+        return (~done) & (it < n_cycles)
+
+    def body(state):
+        z, r, it, rel, done = state
+        z, r = arnoldi_cycle(z, r)
+        rel = jnp.sqrt(_dot(r, r)) / denom
+        return z, r, it + 1, rel, rel <= eps
+
+    state = (z0, r0, jnp.array(0, jnp.int32), rel0, rel0 <= eps)
+    z, r, it, rel, done = jax.lax.while_loop(cond, body, state)
+    return SolveResult(z=z, iterations=it * m, rel_res=rel, converged=rel <= eps)
+
+
+def fgmres(system, r0, denom, eps, maxiter: int, precond=None, restart: int = 20):
+    """Solve ``A z = r0`` (free set, z0=0) with restarted flexible GMRES."""
+    denom = jnp.where(denom > 0, denom, jnp.sqrt(_dot(r0, r0)))
+    denom = jnp.where(denom > 0, denom, 1.0)
+    return _fgmres_loop(system, r0, denom, eps, int(maxiter), precond, int(restart))
