@@ -163,14 +163,21 @@ def make_tortuosity_system(
     shape = active.shape
     n = shape[direction]
 
+    diag = weighted_degree(active, w, periodic, dtype)
+    # Safety decouple: an active cell with NO active neighbours becomes an
+    # identity row with rhs 0 — and this happens BEFORE the Dirichlet
+    # overwrite (TortuosityHypreFill.F90:172-181 `cycle`s), so an isolated
+    # cell on the inlet plane is decoupled, not forced to vlo.  Such cells
+    # are also never referenced by any other row (isolation is mutual), so
+    # treating them as inactive is exact.
+    connected = active & (diag > 0)
+
     idx = jnp.arange(n)
     idx = idx.reshape([-1 if a == direction else 1 for a in range(3)])
-    on_lo = (idx == 0) & active
-    on_hi = (idx == n - 1) & active
+    on_lo = (idx == 0) & connected
+    on_hi = (idx == n - 1) & connected
     dirichlet = on_lo | on_hi
-    free = active & ~dirichlet
-
-    diag = weighted_degree(active, w, periodic, dtype)
+    free = connected & ~dirichlet
 
     x_forced = jnp.where(on_lo, dtype(vlo), jnp.zeros(shape, dtype))
     x_forced = jnp.where(on_hi, dtype(vhi), x_forced)

@@ -21,6 +21,14 @@ into the app (``TortuosityDirect.H:30-33``).  One jitted ``while_loop``:
 * tau = vf / rel_diff with the reference's PLACEHOLDER vf = 1.0
   (``TortuosityDirect.cpp:129``), rel_diff = -avg_flux_density * L / dV —
   replicated verbatim so results match the reference baseline.
+
+Known reference quirks replicated deliberately (this solver is a baseline):
+the ghost cell-type at the ext_dir faces is ``nint(vlo)``/``nint(vhi)``, so
+``vlo = 0`` BLOCKS the inlet (cell_type_blocked == 0); and the face flux is
+``+d(phi)/dx`` (no minus), so with vlo < vhi the returned tau is NEGATIVE
+(the reference warns "Calculated negative tortuosity" and returns it,
+``TortuosityDirect.cpp:143-146``).  Full-pore discrete value: -(N+1)/N
+(Dirichlet values live in the ghost cells, giving N+1 gradient spacings).
 """
 
 from __future__ import annotations
@@ -100,7 +108,8 @@ def _divergence(fluxes, dxinv, dt):
     return out
 
 
-@partial(jax.jit, static_argnames=("direction", "n_steps", "plot_interval"))
+@partial(jax.jit, static_argnames=("direction", "n_steps", "plot_interval",
+                                   "vlo", "vhi"))
 def _solve_loop(free, phi0, direction, vlo, vhi, dxinv, dt, eps, n_steps, plot_interval):
     ct = jnp.where(free, CT_FREE, CT_BLOCKED).astype(jnp.int8)
 
@@ -148,7 +157,7 @@ def tortuosity_direct(
     phase,
     phase_id: int,
     direction,
-    vlo: float = 0.0,
+    vlo: float = -1.0,
     vhi: float = 1.0,
     eps: float = 1e-6,
     n_steps: int = 100000,

@@ -1,0 +1,50 @@
+"""Test configuration: force CPU with 8 virtual devices (the multi-chip
+stand-in — SURVEY.md §4) and float64 before jax initialises."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+REFERENCE_DATA = "/root/reference/data"
+REFERENCE_TIF = "/root/reference/SampleData_2Phase_stack_3d_1bit.tif"
+
+
+@pytest.fixture(scope="session")
+def sample_tif_path():
+    if not os.path.exists(REFERENCE_TIF):
+        pytest.skip("bundled reference sample volume not available")
+    return REFERENCE_TIF
+
+
+@pytest.fixture(scope="session")
+def sample_hdf5_path():
+    p = os.path.join(REFERENCE_DATA, "SampleData_2Phase_3d.hdf5")
+    if not os.path.exists(p):
+        pytest.skip("bundled reference HDF5 sample not available")
+    return p
+
+
+@pytest.fixture(scope="session")
+def sample_raw_path():
+    p = os.path.join(REFERENCE_DATA, "SampleData_2Phase_stack_3d_uint8.raw")
+    if not os.path.exists(p):
+        pytest.skip("bundled reference RAW sample not available")
+    return p
+
+
+@pytest.fixture()
+def rng():
+    return np.random.default_rng(1234)
+
+
+@pytest.fixture(scope="session")
+def blob_phase():
+    """A small percolating random two-phase volume used across tests."""
+    r = np.random.default_rng(7)
+    return (r.random((20, 18, 16)) < 0.65).astype(np.int32)

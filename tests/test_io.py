@@ -1,0 +1,186 @@
+"""Reader round-trip tests on generated fixtures + the bundled reference
+sample volumes (read-only)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from openimpala_tpu.io.dat import DatReader
+from openimpala_tpu.io.hdf5 import HDF5Reader
+from openimpala_tpu.io.raw import RawDataType, RawReader
+from openimpala_tpu.io.tiff import TiffReader
+from openimpala_tpu.io.writers import read_any, write_results_txt, write_volume_hdf5_xdmf
+from openimpala_tpu.io.cathode import (
+    CathodeParams,
+    write_dandeliion_parameters,
+    write_pybamm_parameters,
+)
+
+
+@pytest.fixture()
+def volume(rng):
+    return (rng.random((13, 11, 9)) * 200).astype(np.uint8)
+
+
+class TestTiff:
+    def test_bundled_stack_metadata(self, sample_tif_path):
+        r = TiffReader(sample_tif_path)
+        assert r.shape == (100, 100, 100)
+        assert r.bits_per_sample == 1
+        assert r.sample_format == "uint"
+        lo, hi = r.box()
+        assert lo == (0, 0, 0) and hi == (99, 99, 99)
+
+    def test_bundled_stack_threshold(self, sample_tif_path):
+        r = TiffReader(sample_tif_path)
+        vol = r.threshold(0.5)
+        assert vol.shape == (100, 100, 100)
+        assert set(np.unique(vol)) <= {0, 1}
+        # porosity of the bundled blobs sample is ~0.40
+        # (data/create_sample_structure.py:53-56)
+        assert vol.mean() == pytest.approx(0.3983, abs=0.001)
+
+    def test_written_multipage_roundtrip(self, volume, tmp_path):
+        from PIL import Image
+
+        pages = [Image.fromarray(volume[:, :, z].T) for z in range(volume.shape[2])]
+        p = tmp_path / "stack.tif"
+        pages[0].save(p, save_all=True, append_images=pages[1:])
+        r = TiffReader(str(p))
+        assert r.shape == volume.shape
+        np.testing.assert_array_equal(r.read(), volume)
+        thr = r.threshold(100.0, 5, 2)
+        np.testing.assert_array_equal(thr, np.where(volume > 100, 5, 2))
+
+    def test_file_sequence_template(self, volume, tmp_path):
+        from PIL import Image
+
+        for z in range(volume.shape[2]):
+            Image.fromarray(volume[:, :, z].T).save(tmp_path / f"slice_{z:04d}.tif")
+        # printf-style template engages sequence mode (TiffReader.cpp:85-89)
+        r = TiffReader(str(tmp_path / "slice_%04d.tif"))
+        assert r.depth == volume.shape[2]
+        np.testing.assert_array_equal(r.read(), volume)
+
+    def test_single_file_of_sequence(self, volume, tmp_path):
+        from PIL import Image
+
+        Image.fromarray(volume[:, :, 0].T).save(tmp_path / "one_0000.tif")
+        r = TiffReader(str(tmp_path / "one_0000.tif"))
+        assert r.depth == 1
+        np.testing.assert_array_equal(r.read()[:, :, 0], volume[:, :, 0])
+
+
+class TestHDF5:
+    def test_bundled_sample(self, sample_hdf5_path):
+        r = HDF5Reader(sample_hdf5_path, "image")
+        assert r.shape == (100, 100, 100)
+        vol = r.threshold(0.5)
+        assert set(np.unique(vol)) <= {0, 1}
+
+    def test_roundtrip_and_axis_order(self, volume, tmp_path):
+        import h5py
+
+        p = tmp_path / "vol.h5"
+        with h5py.File(p, "w") as f:
+            f.create_dataset("image", data=volume.transpose(2, 1, 0))  # (Z,Y,X)
+            f["image"].attrs["note"] = "fixture"
+        r = HDF5Reader(str(p), "image")
+        assert r.shape == volume.shape
+        np.testing.assert_array_equal(r.read(), volume)
+        np.testing.assert_array_equal(r.read(3, 7), volume[3:7])
+        assert r.attribute("note") == "fixture"
+
+    def test_tiff_and_hdf5_samples_similar_porosity(self, sample_tif_path,
+                                                    sample_hdf5_path):
+        """The bundled TIFF and HDF5 are independently generated blob samples
+        with the same target porosity ~0.40 (create_sample_structure.py)."""
+        t = TiffReader(sample_tif_path).threshold(0.5)
+        h = HDF5Reader(sample_hdf5_path).threshold(0.5)
+        assert t.mean() == pytest.approx(h.mean(), abs=0.01)
+
+
+class TestDat:
+    def test_roundtrip(self, volume, tmp_path):
+        p = tmp_path / "vol.dat"
+        v16 = volume.astype("<u2")
+        with open(p, "wb") as f:
+            f.write(np.asarray(volume.shape, "<i4").tobytes())
+            f.write(np.ascontiguousarray(v16.transpose(2, 1, 0)).tobytes())
+        r = DatReader(str(p))
+        assert r.shape == volume.shape
+        np.testing.assert_array_equal(r.read(), v16)
+        assert r.get_raw_value(3, 2, 1) == int(v16[3, 2, 1])
+
+    def test_header_validation(self, tmp_path):
+        p = tmp_path / "bad.dat"
+        p.write_bytes(b"\x00" * 4)
+        with pytest.raises(ValueError):
+            DatReader(str(p))
+
+
+class TestRaw:
+    @pytest.mark.parametrize("dtype_name", [
+        "UINT8", "INT16_LE", "UINT16_BE", "INT32_LE", "FLOAT32_BE", "FLOAT64_LE",
+    ])
+    def test_all_dtypes_roundtrip(self, rng, tmp_path, dtype_name):
+        dt = RawDataType.parse(dtype_name)
+        vol = (rng.random((7, 6, 5)) * 100).astype(np.dtype(dt.value))
+        p = tmp_path / f"vol_{dtype_name}.raw"
+        np.ascontiguousarray(vol.transpose(2, 1, 0)).tofile(p)
+        r = RawReader(str(p), 7, 6, 5, dtype_name)
+        got = r.read()
+        np.testing.assert_array_equal(got, vol.astype(got.dtype))
+        assert r.get_value(1, 2, 3) == vol[1, 2, 3]
+
+    def test_bundled_raw_sample(self, sample_raw_path):
+        r = RawReader(sample_raw_path, 100, 100, 100, "UINT8")
+        vol = r.threshold(0.5)
+        assert vol.mean() == pytest.approx(0.3996, abs=0.001)  # matches the HDF5 sample
+
+    def test_size_validation(self, tmp_path):
+        p = tmp_path / "small.raw"
+        p.write_bytes(b"\x00" * 10)
+        with pytest.raises(ValueError):
+            RawReader(str(p), 10, 10, 10, "UINT8")
+
+
+class TestWriters:
+    def test_results_txt(self, tmp_path):
+        p = tmp_path / "results.txt"
+        write_results_txt(str(p), "f.tif", 1, 0.5, {"Tortuosity_X": 1.5})
+        text = p.read_text()
+        assert "VolumeFraction: 0.500000000" in text
+        assert "Tortuosity_X: 1.500000000" in text
+
+    def test_hdf5_xdmf_snapshot(self, tmp_path, volume):
+        base = str(tmp_path / "snap")
+        h5, xmf = write_volume_hdf5_xdmf(base, {"phi": volume.astype(np.float64)})
+        r = HDF5Reader(h5, "phi")
+        np.testing.assert_array_equal(r.read(), volume.astype(np.float64))
+        assert "Xdmf" in open(xmf).read()
+
+    def test_read_any_dispatch(self, tmp_path, volume):
+        import h5py
+
+        h5p = tmp_path / "v.h5"
+        with h5py.File(h5p, "w") as f:
+            f.create_dataset("image", data=volume.transpose(2, 1, 0))
+        assert isinstance(read_any(str(h5p)), HDF5Reader)
+        with pytest.raises(ValueError):
+            read_any(str(tmp_path / "v.xyz"))
+
+    def test_cathode_exporters(self, tmp_path):
+        params = CathodeParams(volume_fraction_solid=0.6, particle_radius=5e-6)
+        d = tmp_path / "dande.txt"
+        p = tmp_path / "pybamm.csv"
+        assert write_dandeliion_parameters(params, str(d))
+        assert write_pybamm_parameters(params, str(p))
+        dande = d.read_text()
+        # porosity = 1 - vf, bet = 3 vf / R, B = porosity/1.94
+        assert "el      = 4.00000000e-01" in dande
+        assert "bet     = 3.60000000e+05" in dande
+        rows = p.read_text().splitlines()
+        assert rows[0] == "Name [units],Value,Reference,Notes"
+        assert any("Positive electrode porosity,0.40000000" in r for r in rows)

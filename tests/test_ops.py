@@ -1,0 +1,151 @@
+"""Operator-semantics tests: the matrix-free systems must act exactly like
+the reference's assembled matrices (dense oracle in reference_oracle.py)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from openimpala_tpu.ops.floodfill import percolation_mask, flood_fill_device
+from openimpala_tpu.ops.filters import remspot
+from openimpala_tpu.ops.masks import linear_ramp
+from openimpala_tpu.ops.stencil import (
+    make_cell_problem_system,
+    make_tortuosity_system,
+    check_operator_properties,
+)
+from reference_oracle import assemble_cell_problem_dense, assemble_tortuosity_dense
+
+SHAPE = (7, 6, 5)
+
+
+def _random_mask(rng, shape=SHAPE, p=0.7):
+    return rng.random(shape) < p
+
+
+class TestTortuosityOperator:
+    @pytest.mark.parametrize("direction", [0, 1, 2])
+    def test_matvec_matches_dense(self, rng, direction):
+        active = _random_mask(rng)
+        vlo, vhi = -1.0, 1.0
+        A, b, _ = assemble_tortuosity_dense(active, direction, vlo, vhi)
+        system = make_tortuosity_system(jnp.asarray(active), direction, vlo, vhi)
+
+        free = np.asarray(system.free)
+        x = rng.standard_normal(SHAPE)
+        x_masked = np.where(free, x, 0.0)  # fields live on the free set
+        want = (A @ x_masked.ravel()).reshape(SHAPE)
+        got = np.asarray(system.apply(jnp.asarray(x_masked)))
+        # rows of the free set must agree exactly with the dense operator
+        np.testing.assert_allclose(got[free], want[free], rtol=1e-13, atol=1e-13)
+
+    def test_initial_residual_matches_dense(self, rng):
+        active = _random_mask(rng)
+        vlo, vhi = -1.0, 1.0
+        direction = 0
+        A, b, xinit = assemble_tortuosity_dense(active, direction, vlo, vhi)
+        system = make_tortuosity_system(jnp.asarray(active), direction, vlo, vhi)
+        ramp = linear_ramp(SHAPE, direction, vlo, vhi)
+        x0_free = jnp.where(system.free, ramp, 0.0)
+
+        r_dense = (b - A @ xinit).reshape(SHAPE)
+        r0 = np.asarray(system.initial_residual(x0_free))
+        free = np.asarray(system.free)
+        np.testing.assert_allclose(r0[free], r_dense[free], rtol=1e-12, atol=1e-12)
+        # forced rows have zero residual by construction in the dense system
+        np.testing.assert_allclose(r_dense[~free], 0.0, atol=1e-12)
+
+    def test_b_norm_matches_dense(self, rng):
+        active = _random_mask(rng)
+        A, b, _ = assemble_tortuosity_dense(active, 0, -1.0, 1.0)
+        system = make_tortuosity_system(jnp.asarray(active), 0, -1.0, 1.0)
+        np.testing.assert_allclose(float(system.b_norm), np.linalg.norm(b), rtol=1e-13)
+
+    def test_check_operator_properties(self, rng):
+        active = _random_mask(rng)
+        system = make_tortuosity_system(jnp.asarray(active), 0, -1.0, 1.0)
+        props = check_operator_properties(system, jnp.asarray(active))
+        assert props["finite"]
+        assert props["diag_positive_on_free"]
+        assert props["rhs_zero_on_free"]
+        assert props["row_sum_zero_on_free"]
+
+
+class TestCellProblemOperator:
+    @pytest.mark.parametrize("dir_k", [0, 1, 2])
+    def test_matvec_and_rhs_match_dense(self, rng, dir_k):
+        active = _random_mask(rng)
+        A, b = assemble_cell_problem_dense(active, dir_k)
+        system = make_cell_problem_system(jnp.asarray(active), dir_k)
+
+        free = np.asarray(system.free)
+        x = np.where(free, rng.standard_normal(SHAPE), 0.0)
+        want = (A @ x.ravel()).reshape(SHAPE)
+        got = np.asarray(system.apply(jnp.asarray(x)))
+        np.testing.assert_allclose(got[free], want[free], rtol=1e-13, atol=1e-13)
+        np.testing.assert_allclose(
+            np.asarray(system.r0_b)[free], b.reshape(SHAPE)[free], rtol=1e-13, atol=1e-13
+        )
+        np.testing.assert_allclose(float(system.b_norm), np.linalg.norm(b), rtol=1e-13)
+
+    def test_operator_is_symmetric_dense(self, rng):
+        active = _random_mask(rng)
+        A, _ = assemble_cell_problem_dense(active, 0)
+        np.testing.assert_allclose(A, A.T, atol=1e-14)
+
+
+class TestPercolation:
+    def test_host_and_device_agree(self, blob_phase):
+        host, vf_h = percolation_mask(blob_phase, 1, 0, method="host")
+        dev, vf_d = percolation_mask(jnp.asarray(blob_phase), 1, 0, method="device")
+        np.testing.assert_array_equal(np.asarray(host), np.asarray(dev))
+        assert vf_h == pytest.approx(vf_d)
+
+    def test_straight_channel(self):
+        phase = np.zeros((8, 4, 4), np.int32)
+        phase[:, 1, 1] = 1  # one straight channel along X
+        mask, vf = percolation_mask(phase, 1, 0, method="host")
+        assert vf == pytest.approx(8 / phase.size)
+        assert mask[:, 1, 1].all()
+        # Y direction: channel does not reach the Y faces -> no percolation
+        _, vf_y = percolation_mask(phase, 1, 1, method="host")
+        assert vf_y == 0.0
+
+    def test_dead_end_excluded(self):
+        phase = np.zeros((8, 5, 5), np.int32)
+        phase[:, 1, 1] = 1  # percolating channel
+        phase[3:5, 3, 3] = 1  # isolated pocket
+        mask, _ = percolation_mask(phase, 1, 0, method="host")
+        assert mask[:, 1, 1].all()
+        assert not mask[3:5, 3, 3].any()
+
+    def test_device_flood_fill_iterations_bounded(self):
+        phase = np.ones((6, 6, 6), bool)
+        seeds = np.zeros((6, 6, 6), bool)
+        seeds[0] = True
+        mask, iters = flood_fill_device(jnp.asarray(phase), jnp.asarray(seeds))
+        assert bool(mask.all())
+        assert int(iters) <= 6 + 6 + 6 + 2
+
+
+class TestRemspot:
+    def test_isolated_voxel_flips(self):
+        phase = np.zeros((5, 5, 5), np.int64)
+        phase[2, 2, 2] = 1  # isolated
+        out = np.asarray(remspot(jnp.asarray(phase), 1))
+        assert out[2, 2, 2] == 0
+        # a 0-voxel surrounded by 0s is connected; stays
+        assert out[0, 0, 0] == 0
+
+    def test_pair_survives(self):
+        phase = np.zeros((5, 5, 5), np.int64)
+        phase[2, 2, 2] = 1
+        phase[3, 2, 2] = 1  # adjacent pair: connected to each other
+        out = np.asarray(remspot(jnp.asarray(phase), 1))
+        assert out[2, 2, 2] == 1 and out[3, 2, 2] == 1
+
+    def test_corner_outside_never_matches(self):
+        # a lone solid voxel in the corner: outside neighbours don't count
+        phase = np.ones((4, 4, 4), np.int64)
+        phase[0, 0, 0] = 0
+        out = np.asarray(remspot(jnp.asarray(phase), 1))
+        assert out[0, 0, 0] == 1  # flipped: no 0-neighbour

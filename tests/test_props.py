@@ -1,0 +1,182 @@
+"""Physics-driver tests: analytic invariants the reference's test suite
+checks (SURVEY.md §4) plus golden cross-checks between methods."""
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from openimpala_tpu.props.effective_diffusivity import effective_diffusivity
+from openimpala_tpu.props.rev import rev_study, CSV_HEADER
+from openimpala_tpu.props.tortuosity import tortuosity
+from openimpala_tpu.props.tortuosity_direct import tortuosity_direct
+from openimpala_tpu.props.volume_fraction import volume_fraction, volume_fraction_counts
+
+
+class TestVolumeFraction:
+    def test_sums_to_one(self, blob_phase):
+        vf0 = volume_fraction(blob_phase, 0)
+        vf1 = volume_fraction(blob_phase, 1)
+        assert vf0 + vf1 == pytest.approx(1.0, abs=1e-12)  # tVolumeFraction.cpp:398-413
+
+    def test_counts_match_direct_sum(self, blob_phase):
+        pc, tc = volume_fraction_counts(blob_phase, 1)
+        assert pc == int((blob_phase == 1).sum())
+        assert tc == blob_phase.size
+
+
+class TestTortuosity:
+    def test_full_pore_tau_is_discrete_one(self):
+        # exact discrete result is (N-1)/N: the Dirichlet planes sit on cell
+        # centres so the ramp spans N-1 spacings but L = N (reference
+        # discretisation, TortuosityHypreFill.F90:188-262)
+        n = 12
+        phase = np.ones((n, 10, 8), np.int32)
+        r = tortuosity(phase, 1, "X", precond="jacobi", inner_dtype=None)
+        assert r.converged and r.flux_conserved
+        assert r.value == pytest.approx((n - 1) / n, rel=1e-9)
+
+    def test_straight_channels(self):
+        phase = np.zeros((10, 6, 6), np.int32)
+        phase[:, 1, 1] = 1
+        phase[:, 4, 3] = 1
+        r = tortuosity(phase, 1, "X", precond="jacobi", inner_dtype=None)
+        assert r.converged
+        # two straight channels: same discrete tau as full pore
+        assert r.value == pytest.approx(9 / 10, rel=1e-9)
+        assert r.active_vf == pytest.approx(20 / phase.size)
+
+    def test_blocked_domain_returns_nan(self):
+        phase = np.zeros((8, 8, 8), np.int32)
+        phase[:3, :, :] = 1  # slab does not reach the far X face
+        r = tortuosity(phase, 1, "X")
+        assert math.isnan(r.value)
+        assert r.active_vf == 0.0
+
+    def test_flux_conservation_gate(self, blob_phase):
+        r = tortuosity(blob_phase, 1, "X", precond="jacobi", inner_dtype=None)
+        assert r.converged
+        assert r.flux_conserved
+        assert r.flux_rel_diff <= 1e-6  # TortuosityHypre.cpp:794
+        # in/out fluxes have the same sign convention and magnitude
+        assert abs(abs(r.flux_in) - abs(r.flux_out)) / abs(r.flux_in) < 1e-6
+
+    def test_directions_differ_but_finite(self, blob_phase):
+        taus = [tortuosity(blob_phase, 1, d, precond="jacobi", inner_dtype=None).value
+                for d in (0, 1, 2)]
+        assert all(math.isfinite(t) and t >= 0.9 for t in taus)
+
+    def test_solver_paths_agree(self, blob_phase):
+        a = tortuosity(blob_phase, 1, "Y", precond="jacobi", inner_dtype=None)
+        b = tortuosity(blob_phase, 1, "Y", precond="mg", inner_dtype=jnp.float32)
+        c = tortuosity(blob_phase, 1, "Y", method="flexgmres", precond="jacobi",
+                       inner_dtype=jnp.float32)
+        assert a.value == pytest.approx(b.value, rel=1e-8)
+        assert a.value == pytest.approx(c.value, rel=1e-7)
+
+    def test_phase_zero_analysis(self, blob_phase):
+        r = tortuosity(blob_phase, 0, "X", precond="jacobi", inner_dtype=None)
+        # phase 0 is the minority phase here; may or may not percolate, but
+        # the call must return a well-defined result either way
+        assert r.active_vf >= 0.0
+        if r.active_vf > 0:
+            assert r.converged
+
+
+class TestEffectiveDiffusivity:
+    def test_full_pore_identity(self):
+        phase = np.ones((8, 8, 8), np.int32)
+        res = effective_diffusivity(phase, 1, precond="jacobi", inner_dtype=None)
+        assert res.converged
+        np.testing.assert_allclose(res.deff, np.eye(3), atol=1e-12)
+
+    def test_straight_channel_dxx_equals_vf(self):
+        phase = np.zeros((8, 6, 6), np.int32)
+        phase[:, 2, 2] = 1
+        res = effective_diffusivity(phase, 1, precond="jacobi", inner_dtype=None)
+        vf = volume_fraction(phase, 1)
+        assert res.converged
+        assert res.deff[0, 0] == pytest.approx(vf, rel=1e-9)
+        # For a single-cell-wide channel the transverse cell problems have
+        # identically zero rhs (interface terms cancel against the central
+        # D-difference, EffDiffFillMtx.F90:156-232), so chi_y = chi_z = 0 and
+        # the reference's discrete tensor gives D_yy = D_zz = VF as well —
+        # the 1-voxel feature is below the scheme's resolution.
+        assert res.deff[1, 1] == pytest.approx(vf, rel=1e-9)
+        assert res.deff[2, 2] == pytest.approx(vf, rel=1e-9)
+
+    def test_symmetry_and_bounds(self, blob_phase):
+        res = effective_diffusivity(blob_phase, 1, precond="jacobi", inner_dtype=None)
+        assert res.converged
+        d = res.deff
+        # D symmetry (tEffectiveDiffusivity.cpp:424-436)
+        np.testing.assert_allclose(d, d.T, atol=1e-8)
+        # 0 <= D_ii, and D_ii < 1 for this fixture (the reference only
+        # *warns* above 1, tEffectiveDiffusivity.cpp:439-449; the discrete
+        # scheme is not variational so D_ii can slightly exceed VF)
+        for i in range(3):
+            assert 0.0 <= d[i, i] <= 1.0
+
+    def test_no_active_cells_shortcut(self):
+        phase = np.zeros((6, 6, 6), np.int32)
+        res = effective_diffusivity(phase, 1)
+        assert res.converged
+        assert res.iterations == (0, 0, 0)
+        np.testing.assert_allclose(res.deff, 0.0)
+
+    def test_precision_paths_agree(self, blob_phase):
+        a = effective_diffusivity(blob_phase, 1, precond="jacobi", inner_dtype=None)
+        b = effective_diffusivity(blob_phase, 1, precond="mg",
+                                  inner_dtype=jnp.float32)
+        np.testing.assert_allclose(a.deff, b.deff, atol=1e-8)
+
+
+class TestTortuosityDirect:
+    def test_full_pore(self):
+        n = 10
+        phase = np.ones((n, 6, 6), np.int32)
+        r = tortuosity_direct(phase, 1, "X", eps=1e-10, plot_interval=50)
+        assert r.converged
+        # Dirichlet values live in the ghost cells (N+1 gradient spacings)
+        # and the reference's sign convention makes tau negative: -(N+1)/N
+        assert r.value == pytest.approx(-(n + 1) / n, rel=1e-3)
+
+    def test_vlo_zero_blocks_inlet_quirk(self):
+        # ghost cell-type nint(vlo)=0 == cell_type_blocked: the inlet face
+        # carries no flux and the relaxed state is degenerate (reference
+        # quirk, Tortuosity_filcc.F90 filbc fills ALL components)
+        phase = np.ones((8, 4, 4), np.int32)
+        r = tortuosity_direct(phase, 1, "X", vlo=0.0, vhi=1.0, eps=1e-8,
+                              plot_interval=50)
+        assert abs(r.flux_in) < 1e-12
+
+    def test_agrees_loosely_with_hypre_analogue(self, blob_phase):
+        rd = tortuosity_direct(blob_phase, 1, "X", eps=1e-9,
+                               plot_interval=200, n_steps=200000)
+        rh = tortuosity(blob_phase, 1, "X", precond="jacobi", inner_dtype=None)
+        assert rd.converged
+        # different BC discretisation (ghost vs cell-centre Dirichlet) and
+        # the vf placeholder 1.0: compare conductance magnitudes loosely
+        assert abs(rd.value) == pytest.approx(rh.value / rh.active_vf, rel=0.2)
+
+
+class TestRevStudy:
+    def test_csv_schema_and_rows(self, blob_phase, tmp_path):
+        csv = tmp_path / "rev.csv"
+        samples = rev_study(blob_phase, 1, sizes=(8, 12), num_samples=2,
+                            precond="jacobi", inner_dtype=None,
+                            csv_path=str(csv))
+        lines = csv.read_text().strip().splitlines()
+        assert lines[0] == CSV_HEADER
+        assert len(lines) == 1 + len(samples)
+        assert len(samples) == 4
+        for s in samples:
+            assert s.converged
+            assert np.isfinite(s.deff).all()
+            assert s.deff[0, 0] >= -1e-12
+
+    def test_small_boxes_skipped(self, blob_phase):
+        samples = rev_study(blob_phase, 1, sizes=(4,), num_samples=2,
+                            precond="jacobi", inner_dtype=None)
+        assert samples == []  # longside < 8 -> skipped (Diffusion.cpp:361)

@@ -1,0 +1,100 @@
+"""Solver tests: CG / FGMRES / multigrid / iterative refinement all reach
+the reference's tolerances and agree with a dense direct solve."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from openimpala_tpu.ops.masks import linear_ramp
+from openimpala_tpu.ops.stencil import make_cell_problem_system, make_tortuosity_system
+from openimpala_tpu.solve.cg import cg, jacobi_preconditioner
+from openimpala_tpu.solve.fgmres import fgmres
+from openimpala_tpu.solve.multigrid import make_multigrid_preconditioner
+from openimpala_tpu.solve.refine import solve_system
+from reference_oracle import assemble_tortuosity_dense
+
+SHAPE = (12, 10, 8)
+
+
+@pytest.fixture(scope="module")
+def problem():
+    rng = np.random.default_rng(3)
+    active = rng.random(SHAPE) < 0.75
+    # ensure percolation along X so the system is well-posed
+    active[:, 4, 4] = True
+    system = make_tortuosity_system(jnp.asarray(active), 0, -1.0, 1.0)
+    ramp = linear_ramp(SHAPE, 0, -1.0, 1.0)
+    x0 = jnp.where(system.free, ramp, 0.0)
+    A, b, xinit = assemble_tortuosity_dense(active, 0, -1.0, 1.0)
+    x_direct = np.linalg.solve(A, b).reshape(SHAPE)
+    return system, x0, x_direct
+
+
+def test_cg_matches_direct(problem):
+    system, x0, x_direct = problem
+    r0 = system.initial_residual(x0)
+    res = cg(system, r0, system.b_norm, 1e-12, 5000)
+    assert bool(res.converged)
+    x = np.asarray(system.assemble_solution(x0 + res.z))
+    np.testing.assert_allclose(x, x_direct, atol=1e-9)
+
+
+def test_fgmres_matches_direct(problem):
+    system, x0, x_direct = problem
+    r0 = system.initial_residual(x0)
+    res = fgmres(system, r0, system.b_norm, 1e-12, 3000, restart=30)
+    assert bool(res.converged)
+    x = np.asarray(system.assemble_solution(x0 + res.z))
+    np.testing.assert_allclose(x, x_direct, atol=1e-8)
+
+
+def test_jacobi_preconditioner_converges_faster(problem):
+    system, x0, _ = problem
+    r0 = system.initial_residual(x0)
+    plain = cg(system, r0, system.b_norm, 1e-10, 5000)
+    pre = cg(system, r0, system.b_norm, 1e-10, 5000,
+             precond=jacobi_preconditioner(system))
+    assert bool(pre.converged) and bool(plain.converged)
+    # same solution either way
+    np.testing.assert_allclose(np.asarray(plain.z), np.asarray(pre.z), atol=1e-8)
+
+
+def test_multigrid_reduces_iterations(problem):
+    system, x0, x_direct = problem
+    r0 = system.initial_residual(x0)
+    plain = cg(system, r0, system.b_norm, 1e-10, 5000)
+    mg = cg(system, r0, system.b_norm, 1e-10, 5000,
+            precond=make_multigrid_preconditioner(system))
+    assert bool(mg.converged)
+    assert int(mg.iterations) < int(plain.iterations)
+    x = np.asarray(system.assemble_solution(x0 + mg.z))
+    np.testing.assert_allclose(x, x_direct, atol=1e-7)
+
+
+def test_refinement_f32_reaches_1e9(problem):
+    system, x0, x_direct = problem
+    x, info = solve_system(system, x0, eps=1e-9, maxiter=20000,
+                           method="cg", precond="jacobi",
+                           inner_dtype=jnp.float32)
+    assert bool(info.converged)
+    assert float(info.rel_res) <= 1e-9
+    np.testing.assert_allclose(np.asarray(x), x_direct, atol=1e-6)
+
+
+def test_zero_rhs_cell_problem_converges_trivially():
+    # all-active periodic cell problem: no interfaces, rhs = 0, chi = 0
+    active = jnp.ones((8, 8, 8), bool)
+    system = make_cell_problem_system(active, 0)
+    assert float(system.b_norm) == 0.0
+    x, info = solve_system(system, jnp.zeros((8, 8, 8)), eps=1e-9, maxiter=100,
+                           inner_dtype=None)
+    assert bool(info.converged)
+    np.testing.assert_allclose(np.asarray(x), 0.0, atol=1e-14)
+
+
+def test_nonconvergence_reports_flag(problem):
+    system, x0, _ = problem
+    r0 = system.initial_residual(x0)
+    res = cg(system, r0, system.b_norm, 1e-12, 3)  # not enough iterations
+    assert not bool(res.converged)
+    assert float(res.rel_res) > 1e-12
