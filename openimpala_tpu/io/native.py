@@ -1,0 +1,136 @@
+"""ctypes binding to the native C++ runtime (native/impala_native.cpp).
+
+Lazy-builds ``libimpala_native.so`` with the in-tree Makefile on first use if
+the toolchain is available; every caller has a pure-Python fallback, so the
+library is an accelerator, never a requirement.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
+_LIB_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "libimpala_native.so"))
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+# dtype codes matching impala_native.cpp pick_loader
+DTYPE_CODES = {
+    "|u1": 0, "|i1": 1, "<i2": 2, ">i2": 3, "<u2": 4, ">u2": 5,
+    "<i4": 6, ">i4": 7, "<u4": 8, ">u4": 9, "<f4": 10, ">f4": 11,
+    "<f8": 12, ">f8": 13,
+}
+
+
+def _build():
+    makefile_dir = os.path.abspath(_NATIVE_DIR)
+    if not os.path.exists(os.path.join(makefile_dir, "Makefile")):
+        return False
+    try:
+        subprocess.run(["make", "-C", makefile_dir], check=True,
+                       capture_output=True, timeout=120)
+        return os.path.exists(_LIB_PATH)
+    except Exception:
+        return False
+
+
+def get_lib():
+    """The loaded library, or None if unavailable."""
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if os.environ.get("OPENIMPALA_NO_NATIVE", "0") == "1":
+            return None
+        if not os.path.exists(_LIB_PATH) and not _build():
+            return None
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError:
+            return None
+        lib.impala_threshold_decode.restype = ctypes.c_int
+        lib.impala_unpack_bits.restype = ctypes.c_int
+        lib.impala_flood_fill.restype = ctypes.c_int64
+        lib.impala_percolation_mask.restype = ctypes.c_int64
+        lib.impala_remspot.restype = ctypes.c_int64
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def _ptr(arr, ctype):
+    return arr.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def threshold_decode(raw: np.ndarray, thr: float, vtrue: int, vfalse: int):
+    """int8 thresholded copy of a raw (any supported dtype) buffer, or None
+    when the native library is unavailable."""
+    lib = get_lib()
+    code = DTYPE_CODES.get(raw.dtype.str)
+    if lib is None or code is None:
+        return None
+    flat = np.ascontiguousarray(raw).reshape(-1)
+    out = np.empty(flat.shape, np.int8)
+    rc = lib.impala_threshold_decode(
+        _ptr(flat.view(np.uint8), ctypes.c_uint8), ctypes.c_int64(flat.size),
+        ctypes.c_int(code), ctypes.c_double(thr), ctypes.c_int8(vtrue),
+        ctypes.c_int8(vfalse), _ptr(out, ctypes.c_int8),
+    )
+    if rc != 0:
+        return None
+    return out.reshape(raw.shape)
+
+
+def unpack_bits(packed: np.ndarray, n_values: int, fill_order: int = 1):
+    lib = get_lib()
+    if lib is None:
+        return None
+    packed = np.ascontiguousarray(packed, np.uint8)
+    out = np.empty(n_values, np.uint8)
+    lib.impala_unpack_bits(_ptr(packed, ctypes.c_uint8),
+                           ctypes.c_int64(n_values), ctypes.c_int(fill_order),
+                           _ptr(out, ctypes.c_uint8))
+    return out
+
+
+def percolation_mask(phase_ok: np.ndarray, direction: int):
+    """(active_mask bool, n_active) or None if unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    p = np.ascontiguousarray(phase_ok, np.int8)
+    active = np.empty(p.shape, np.int8)
+    n = lib.impala_percolation_mask(
+        _ptr(p, ctypes.c_int8), ctypes.c_int64(p.shape[0]),
+        ctypes.c_int64(p.shape[1]), ctypes.c_int64(p.shape[2]),
+        ctypes.c_int(direction), _ptr(active, ctypes.c_int8),
+    )
+    if n < 0:
+        return None
+    return active.astype(bool), int(n)
+
+
+def remspot(phase: np.ndarray):
+    """(filtered phase, n_flips) or None if unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    p = np.ascontiguousarray(phase, np.int32)
+    out = np.empty(p.shape, np.int32)
+    flips = lib.impala_remspot(
+        _ptr(p, ctypes.c_int32), ctypes.c_int64(p.shape[0]),
+        ctypes.c_int64(p.shape[1]), ctypes.c_int64(p.shape[2]),
+        _ptr(out, ctypes.c_int32),
+    )
+    return out, int(flips)

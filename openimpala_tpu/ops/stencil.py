@@ -70,8 +70,32 @@ def weighted_degree(active, w, periodic, dtype):
     return neighbor_sum(active.astype(dtype), w, periodic)
 
 
+import os as _os
+
+_PALLAS_MODE = _os.environ.get("OPENIMPALA_PALLAS", "auto")  # auto|1|0
+
+
+def set_pallas_mode(mode: str):
+    """'auto' (TPU + layout contract), '1' (force), '0' (XLA path only)."""
+    global _PALLAS_MODE
+    _PALLAS_MODE = mode
+
+
 def apply_restricted(x, diag, free, w, periodic):
-    """Action of the free-set operator: ``free ? diag*x - sum w x_nbr : 0``."""
+    """Action of the free-set operator: ``free ? diag*x - sum w x_nbr : 0``.
+
+    Dispatches to the fused Pallas TPU kernel (ops/stencil_pallas.py) when
+    the layout contract holds; the XLA expression below is the reference
+    implementation and covers every other case (CPU tests, float64 outer
+    residuals, odd shapes).
+    """
+    if _PALLAS_MODE != "0":
+        from . import stencil_pallas
+
+        if stencil_pallas.supports(x.shape, x.dtype, periodic):
+            return stencil_pallas.stencil_matvec_pallas(
+                x, jnp.asarray(diag), free, w, periodic
+            )
     return jnp.where(free, diag * x - neighbor_sum(x, w, periodic), jnp.zeros((), x.dtype))
 
 

@@ -3,10 +3,19 @@ stand-in — SURVEY.md §4) and float64 before jax initialises."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-_flags = os.environ.get("XLA_FLAGS", "")
-if "host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+# The sandbox pre-sets JAX_PLATFORMS=axon (the tunnelled TPU) and the plugin
+# overrides the env var, so force the platform through jax.config instead.
+# Tests run on the virtual 8-device CPU mesh unless OPENIMPALA_TEST_TPU=1
+# opts in to the real chip (slower: every compile crosses the tunnel).
+if os.environ.get("OPENIMPALA_TEST_TPU", "0") != "1":
+    _flags = os.environ.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in _flags:
+        os.environ["XLA_FLAGS"] = (
+            _flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
