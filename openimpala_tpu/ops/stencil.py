@@ -93,6 +93,11 @@ def apply_restricted(x, diag, free, w, periodic):
         from . import stencil_pallas
 
         if stencil_pallas.supports(x.shape, x.dtype, periodic):
+            if stencil_pallas.supports_v2(x.shape, x.dtype):
+                # rolling-window manual-DMA kernel: compulsory 13 B/cell
+                return stencil_pallas.stencil_matvec_pallas_v2(
+                    x, jnp.asarray(diag), free, w, periodic
+                )
             return stencil_pallas.stencil_matvec_pallas(
                 x, jnp.asarray(diag), free, w, periodic
             )

@@ -20,11 +20,21 @@ accumulator lives in SMEM and exploits the sequential TPU grid.
 from __future__ import annotations
 
 import functools
+import sys
 
 import jax
+
+# deep trace stacks (jit -> pallas_call -> run_scoped -> fori -> cond) can
+# exceed CPython's default recursion limit while tracing the v2 kernel
+sys.setrecursionlimit(max(sys.getrecursionlimit(), 10000))
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+import numpy as np
+
+# index-map constants must be int32: bare 0 literals trace to i64 under x64
+# mode and Mosaic rejects the index function signature.
+_I0 = np.int32(0)
 
 
 def _shift_plane(x, axis: int, shift: int, periodic: bool):
@@ -91,11 +101,11 @@ def stencil_matvec_pallas(x, diag, free, w, periodic, with_dot=False,
     diag_scalar = jnp.ndim(diag) == 0
     if diag_scalar:
         diag_in = jnp.reshape(diag, (1, 1)).astype(dtype)
-        diag_spec = pl.BlockSpec((1, 1), lambda i: (0, 0),
+        diag_spec = pl.BlockSpec((1, 1), lambda i: (_I0, _I0),
                                  memory_space=pltpu.SMEM)
     else:
         diag_in = diag.astype(dtype)
-        diag_spec = pl.BlockSpec((1, Y, Z), lambda i: (i, 0, 0),
+        diag_spec = pl.BlockSpec((1, Y, Z), lambda i: (i, _I0, _I0),
                                  memory_space=pltpu.VMEM)
     free8 = free.astype(jnp.int8)
 
@@ -108,18 +118,18 @@ def stencil_matvec_pallas(x, diag, free, w, periodic, with_dot=False,
     out_shapes = [jax.ShapeDtypeStruct((X, Y, Z), dtype),
                   jax.ShapeDtypeStruct((1, 1), jnp.float32)]
     out_specs = [
-        pl.BlockSpec(plane, lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec(plane, lambda i: (i, _I0, _I0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1), lambda i: (_I0, _I0), memory_space=pltpu.SMEM),
     ]
     out, dot = pl.pallas_call(
         kernel,
         grid=(X,),
         in_specs=[
-            pl.BlockSpec(plane, lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(plane, lambda i: (i + 1, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(plane, lambda i: (i + 2, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(plane, lambda i: (i, _I0, _I0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(plane, lambda i: (i + _I0 + 1, _I0, _I0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(plane, lambda i: (i + _I0 + 2, _I0, _I0), memory_space=pltpu.VMEM),
             diag_spec,
-            pl.BlockSpec(plane, lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(plane, lambda i: (i, _I0, _I0), memory_space=pltpu.VMEM),
         ],
         out_shape=out_shapes,
         out_specs=out_specs,
@@ -133,3 +143,161 @@ def stencil_matvec_pallas(x, diag, free, w, periodic, with_dot=False,
     if with_dot:
         return out, dot[0, 0]
     return out
+
+
+# ---------------------------------------------------------------------------
+# v2: rolling-window kernel with manual double-buffered DMA.  The v1 kernel
+# above fetches three x-planes per grid step (the lo/mid/hi views), so x is
+# read ~3x from HBM.  Here a single kernel invocation streams the volume
+# once: a 4-slot VMEM ring holds the x window, 2-slot rings stage diag/free
+# in and out planes, and DMAs are double-buffered against compute, bringing
+# traffic down to the compulsory 13 B/cell.
+# ---------------------------------------------------------------------------
+
+
+def _matvec_kernel_v2(xp_ref, diag_ref, free_ref, out_ref, *, w, periodic_yz,
+                      n_planes):
+    def body(xbuf, dbuf, fbuf, obuf, xsem, dsem, fsem, osem):
+        def i32(v):
+            # all ref indices must be int32 under x64 mode (Mosaic constraint)
+            if isinstance(v, int):
+                return np.int32(v)
+            return v
+
+        def fetch_x(k, slot):
+            return pltpu.make_async_copy(xp_ref.at[i32(k)], xbuf.at[i32(slot)],
+                                         xsem.at[i32(slot)])
+
+        def fetch_d(k, slot):
+            return pltpu.make_async_copy(diag_ref.at[i32(k)], dbuf.at[i32(slot)],
+                                         dsem.at[i32(slot)])
+
+        def fetch_f(k, slot):
+            return pltpu.make_async_copy(free_ref.at[i32(k)], fbuf.at[i32(slot)],
+                                         fsem.at[i32(slot)])
+
+        def put_out(k, slot):
+            return pltpu.make_async_copy(obuf.at[i32(slot)], out_ref.at[i32(k)],
+                                         osem.at[i32(slot)])
+
+        # prologue: fill the x ring (window + prefetch depth) and the first
+        # few diag/free planes
+        for kk in range(min(7, n_planes + 2)):
+            fetch_x(kk, kk).start()
+        for kk in range(min(3, n_planes)):
+            fetch_d(kk, kk).start()
+            fetch_f(kk, kk).start()
+        fetch_x(0, 0).wait()
+        fetch_x(1, 1).wait()
+
+        # NB: all index arithmetic via lax with np.int32 constants — jnp
+        # operator dispatch on tracers inside the pallas/run_scoped/fori
+        # trace stack hits a dtype-promotion recursion bug under x64 mode.
+        lax = jax.lax
+        c = np.int32
+
+        def loop(k, carry):
+            kp1 = lax.add(k, c(1))
+            kp2 = lax.add(k, c(2))
+            kp7 = lax.add(k, c(7))
+            kp3 = lax.add(k, c(3))
+            s_k8 = lax.rem(k, c(8))
+            s_k1_8 = lax.rem(kp1, c(8))
+            s_k2_8 = lax.rem(kp2, c(8))
+            s_k7_8 = lax.rem(kp7, c(8))
+            s_k4d = lax.rem(k, c(4))
+            s_k3_4 = lax.rem(kp3, c(4))
+
+            # prefetch 5 planes ahead of the window tail (ring 8, window 3),
+            # 3 ahead for d/f (ring 4) — strictly less than the ring size so
+            # no in-use slot is overwritten
+            @pl.when(lax.lt(kp7, c(n_planes + 2)))
+            def _():
+                fetch_x(kp7, s_k7_8).start()
+
+            @pl.when(lax.lt(kp3, c(n_planes)))
+            def _():
+                fetch_d(kp3, s_k3_4).start()
+                fetch_f(kp3, s_k3_4).start()
+
+            # wait for the newest window plane + this step's diag/free
+            fetch_x(kp2, s_k2_8).wait()
+            fetch_d(k, s_k4d).wait()
+            fetch_f(k, s_k4d).wait()
+            # the out slot we are about to overwrite must have drained
+            @pl.when(lax.ge(k, c(4)))
+            def _():
+                put_out(lax.sub(k, c(4)), s_k4d).wait()
+
+            xlo = xbuf[s_k8]
+            xm = xbuf[s_k1_8]
+            xhi = xbuf[s_k2_8]
+            nbr = w[0] * (xlo + xhi)
+            nbr += w[1] * (_shift_plane(xm, 0, -1, periodic_yz[0])
+                           + _shift_plane(xm, 0, 1, periodic_yz[0]))
+            nbr += w[2] * (_shift_plane(xm, 1, -1, periodic_yz[1])
+                           + _shift_plane(xm, 1, 1, periodic_yz[1]))
+            free = fbuf[s_k4d] != 0
+            obuf[s_k4d] = jnp.where(free, dbuf[s_k4d] * xm - nbr,
+                                    jnp.zeros((), xm.dtype))
+            put_out(k, s_k4d).start()
+            return carry
+
+        jax.lax.fori_loop(jnp.int32(0), jnp.int32(n_planes), loop,
+                          jnp.int32(0), unroll=False)
+        # epilogue: drain the last output DMAs still in flight
+        for back in range(1, min(4, n_planes) + 1):
+            kk = n_planes - back
+            put_out(kk, kk % 4).wait()
+
+    Y, Z = xp_ref.shape[1], xp_ref.shape[2]
+    dtype = xp_ref.dtype
+    pl.run_scoped(
+        body,
+        xbuf=pltpu.VMEM((8, Y, Z), dtype),
+        dbuf=pltpu.VMEM((4, Y, Z), dtype),
+        fbuf=pltpu.VMEM((4, Y, Z), jnp.int8),
+        obuf=pltpu.VMEM((4, Y, Z), dtype),
+        xsem=pltpu.SemaphoreType.DMA((8,)),
+        dsem=pltpu.SemaphoreType.DMA((4,)),
+        fsem=pltpu.SemaphoreType.DMA((4,)),
+        osem=pltpu.SemaphoreType.DMA((4,)),
+    )
+
+
+def supports_v2(shape, dtype) -> bool:
+    X, Y, Z = shape
+    plane_bytes = Y * Z * 4
+    # 16 f32 plane slots + 4 int8 slots must fit comfortably in ~16 MB VMEM
+    return X >= 8 and (16 * plane_bytes + 4 * Y * Z) < 12 * 1024 * 1024
+
+
+@functools.partial(jax.jit, static_argnames=("w", "periodic", "interpret"))
+def stencil_matvec_pallas_v2(x, diag, free, w, periodic, interpret=False):
+    X, Y, Z = x.shape
+    dtype = x.dtype
+    xp = jnp.pad(x, ((1, 1), (0, 0), (0, 0)),
+                 mode="wrap" if periodic[0] else "constant")
+    diag_full = jnp.broadcast_to(jnp.asarray(diag, dtype), x.shape)
+    free8 = free.astype(jnp.int8)
+    kernel = functools.partial(
+        _matvec_kernel_v2, w=tuple(float(v) for v in w),
+        periodic_yz=(periodic[1], periodic[2]), n_planes=X,
+    )
+    return pl.pallas_call(
+        kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_shape=jax.ShapeDtypeStruct((X, Y, Z), dtype),
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * X * Y * Z,
+            bytes_accessed=13 * X * Y * Z,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xp, diag_full, free8)

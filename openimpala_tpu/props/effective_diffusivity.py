@@ -70,13 +70,14 @@ def effective_diffusivity(
             volume_fraction=0.0, chi=chis if return_fields else None,
         )
 
+    storage = dtype if inner_dtype is None else inner_dtype
     chis, iters, rels, convs = [], [], [], []
     for k in range(3):
-        system = make_cell_problem_system(active, k, dx, dtype=dtype)
-        x0 = jnp.zeros(phase.shape, dtype)  # xinit = 0 (EffDiffFillMtx.F90:126)
+        system = make_cell_problem_system(active, k, dx, dtype=storage)
+        x0 = jnp.zeros(phase.shape, storage)  # xinit = 0 (EffDiffFillMtx.F90:126)
         chi_k, info = solve_system(
             system, x0, eps=eps, maxiter=maxiter, method=method, precond=precond,
-            inner_dtype=inner_dtype,
+            inner_dtype=inner_dtype, outer_dtype=dtype,
         )
         chis.append(chi_k)
         iters.append(int(info.iterations))

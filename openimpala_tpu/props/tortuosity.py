@@ -89,13 +89,17 @@ def tortuosity(
         return nanres
 
     active_j = jnp.asarray(np.asarray(active))
-    system = make_tortuosity_system(active_j, direction, vlo, vhi, dx, dtype=dtype)
-    ramp = linear_ramp(shape, direction, vlo, vhi, dtype=dtype)
-    x0_free = jnp.where(system.free, ramp, jnp.zeros((), dtype))
+    # store the system in the Krylov dtype (coefficients are exact there);
+    # the refinement driver upcasts to ``dtype`` on the fly — see refine.py
+    storage = dtype if inner_dtype is None else inner_dtype
+    system = make_tortuosity_system(active_j, direction, vlo, vhi, dx,
+                                    dtype=storage)
+    ramp = linear_ramp(shape, direction, vlo, vhi, dtype=storage)
+    x0_free = jnp.where(system.free, ramp, jnp.zeros((), storage))
 
     x_full, info = solve_system(
         system, x0_free, eps=eps, maxiter=maxiter, method=method, precond=precond,
-        inner_dtype=inner_dtype,
+        inner_dtype=inner_dtype, outer_dtype=dtype,
     )
     iterations = int(info.iterations)
     rel_res = float(info.rel_res)

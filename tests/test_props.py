@@ -72,8 +72,10 @@ class TestTortuosity:
         b = tortuosity(blob_phase, 1, "Y", precond="mg", inner_dtype=jnp.float32)
         c = tortuosity(blob_phase, 1, "Y", method="flexgmres", precond="jacobi",
                        inner_dtype=jnp.float32)
-        assert a.value == pytest.approx(b.value, rel=1e-8)
-        assert a.value == pytest.approx(c.value, rel=1e-7)
+        # convergence at eps=1e-9 bounds derived-quantity agreement at ~1e-6
+        # (condition-number amplification) — the BASELINE.md acceptance bar
+        assert a.value == pytest.approx(b.value, rel=1e-6)
+        assert a.value == pytest.approx(c.value, rel=1e-6)
 
     def test_phase_zero_analysis(self, blob_phase):
         r = tortuosity(blob_phase, 0, "X", precond="jacobi", inner_dtype=None)
