@@ -85,8 +85,9 @@ def main():
     log(f"percolation mask: {time.time()-t0:.2f}s  active_vf={active_vf:.4f}")
 
     active_j = jnp.asarray(active)
-    system64 = make_tortuosity_system(active_j, 0, -1.0, 1.0)
-    system = system64.astype(jnp.float32)
+    # build directly in float32 — the coefficients are exact there and a
+    # float64 copy would cost 3 GiB at 512^3
+    system = make_tortuosity_system(active_j, 0, -1.0, 1.0, dtype=jnp.float32)
 
     # --- headline: masked stencil matvec bandwidth (float32) ---
     x = jnp.where(system.free, linear_ramp(phase.shape, 0, -1.0, 1.0,
@@ -109,6 +110,7 @@ def main():
     log(f"matvec: {dt*1e3:.2f} ms -> {gbps:.1f} GB/s (13 B/cell model)")
 
     # --- secondary: time-to-tortuosity end to end ---
+    del system, x, active_j  # free HBM before the end-to-end run
     from openimpala_tpu.props.tortuosity import tortuosity
 
     t0 = time.time()

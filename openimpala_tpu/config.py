@@ -109,7 +109,7 @@ class DiffusionConfig:
     raw_depth: int = 0
     raw_datatype: str = "UINT8"
     # TPU-native solver knobs (new surface)
-    precond: str = "mg"
+    precond: str = "auto"
     krylov_maxiter: int = 20000
     inner_precision: str = "float32"  # or "float64"
 

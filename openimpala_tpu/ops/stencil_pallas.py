@@ -156,7 +156,7 @@ def stencil_matvec_pallas(x, diag, free, w, periodic, with_dot=False,
 
 
 def _matvec_kernel_v2(xp_ref, diag_ref, free_ref, out_ref, *, w, periodic_yz,
-                      n_planes):
+                      n_planes, xr, dr):
     def body(xbuf, dbuf, fbuf, obuf, xsem, dsem, fsem, osem):
         def i32(v):
             # all ref indices must be int32 under x64 mode (Mosaic constraint)
@@ -182,9 +182,9 @@ def _matvec_kernel_v2(xp_ref, diag_ref, free_ref, out_ref, *, w, periodic_yz,
 
         # prologue: fill the x ring (window + prefetch depth) and the first
         # few diag/free planes
-        for kk in range(min(7, n_planes + 2)):
+        for kk in range(min(xr - 1, n_planes + 2)):
             fetch_x(kk, kk).start()
-        for kk in range(min(3, n_planes)):
+        for kk in range(min(dr - 1, n_planes)):
             fetch_d(kk, kk).start()
             fetch_f(kk, kk).start()
         fetch_x(0, 0).wait()
@@ -199,77 +199,86 @@ def _matvec_kernel_v2(xp_ref, diag_ref, free_ref, out_ref, *, w, periodic_yz,
         def loop(k, carry):
             kp1 = lax.add(k, c(1))
             kp2 = lax.add(k, c(2))
-            kp7 = lax.add(k, c(7))
-            kp3 = lax.add(k, c(3))
-            s_k8 = lax.rem(k, c(8))
-            s_k1_8 = lax.rem(kp1, c(8))
-            s_k2_8 = lax.rem(kp2, c(8))
-            s_k7_8 = lax.rem(kp7, c(8))
-            s_k4d = lax.rem(k, c(4))
-            s_k3_4 = lax.rem(kp3, c(4))
+            kpxr = lax.add(k, c(xr - 1))
+            kpdr = lax.add(k, c(dr - 1))
+            s_kx = lax.rem(k, c(xr))
+            s_k1_x = lax.rem(kp1, c(xr))
+            s_k2_x = lax.rem(kp2, c(xr))
+            s_kxr = lax.rem(kpxr, c(xr))
+            s_kd = lax.rem(k, c(dr))
+            s_kdr = lax.rem(kpdr, c(dr))
 
-            # prefetch 5 planes ahead of the window tail (ring 8, window 3),
-            # 3 ahead for d/f (ring 4) — strictly less than the ring size so
-            # no in-use slot is overwritten
-            @pl.when(lax.lt(kp7, c(n_planes + 2)))
+            # prefetch xr-3 planes ahead of the window tail (ring xr, window
+            # 3), dr-1 ahead for d/f — strictly inside the ring so no in-use
+            # slot is overwritten
+            @pl.when(lax.lt(kpxr, c(n_planes + 2)))
             def _():
-                fetch_x(kp7, s_k7_8).start()
+                fetch_x(kpxr, s_kxr).start()
 
-            @pl.when(lax.lt(kp3, c(n_planes)))
+            @pl.when(lax.lt(kpdr, c(n_planes)))
             def _():
-                fetch_d(kp3, s_k3_4).start()
-                fetch_f(kp3, s_k3_4).start()
+                fetch_d(kpdr, s_kdr).start()
+                fetch_f(kpdr, s_kdr).start()
 
             # wait for the newest window plane + this step's diag/free
-            fetch_x(kp2, s_k2_8).wait()
-            fetch_d(k, s_k4d).wait()
-            fetch_f(k, s_k4d).wait()
+            fetch_x(kp2, s_k2_x).wait()
+            fetch_d(k, s_kd).wait()
+            fetch_f(k, s_kd).wait()
             # the out slot we are about to overwrite must have drained
-            @pl.when(lax.ge(k, c(4)))
+            @pl.when(lax.ge(k, c(dr)))
             def _():
-                put_out(lax.sub(k, c(4)), s_k4d).wait()
+                put_out(lax.sub(k, c(dr)), s_kd).wait()
 
-            xlo = xbuf[s_k8]
-            xm = xbuf[s_k1_8]
-            xhi = xbuf[s_k2_8]
+            xlo = xbuf[s_kx]
+            xm = xbuf[s_k1_x]
+            xhi = xbuf[s_k2_x]
             nbr = w[0] * (xlo + xhi)
             nbr += w[1] * (_shift_plane(xm, 0, -1, periodic_yz[0])
                            + _shift_plane(xm, 0, 1, periodic_yz[0]))
             nbr += w[2] * (_shift_plane(xm, 1, -1, periodic_yz[1])
                            + _shift_plane(xm, 1, 1, periodic_yz[1]))
-            free = fbuf[s_k4d] != 0
-            obuf[s_k4d] = jnp.where(free, dbuf[s_k4d] * xm - nbr,
-                                    jnp.zeros((), xm.dtype))
-            put_out(k, s_k4d).start()
+            free = fbuf[s_kd] != 0
+            obuf[s_kd] = jnp.where(free, dbuf[s_kd] * xm - nbr,
+                                   jnp.zeros((), xm.dtype))
+            put_out(k, s_kd).start()
             return carry
 
         jax.lax.fori_loop(jnp.int32(0), jnp.int32(n_planes), loop,
                           jnp.int32(0), unroll=False)
         # epilogue: drain the last output DMAs still in flight
-        for back in range(1, min(4, n_planes) + 1):
+        for back in range(1, min(dr, n_planes) + 1):
             kk = n_planes - back
-            put_out(kk, kk % 4).wait()
+            put_out(kk, kk % dr).wait()
 
     Y, Z = xp_ref.shape[1], xp_ref.shape[2]
     dtype = xp_ref.dtype
     pl.run_scoped(
         body,
-        xbuf=pltpu.VMEM((8, Y, Z), dtype),
-        dbuf=pltpu.VMEM((4, Y, Z), dtype),
-        fbuf=pltpu.VMEM((4, Y, Z), jnp.int8),
-        obuf=pltpu.VMEM((4, Y, Z), dtype),
-        xsem=pltpu.SemaphoreType.DMA((8,)),
-        dsem=pltpu.SemaphoreType.DMA((4,)),
-        fsem=pltpu.SemaphoreType.DMA((4,)),
-        osem=pltpu.SemaphoreType.DMA((4,)),
+        xbuf=pltpu.VMEM((xr, Y, Z), dtype),
+        dbuf=pltpu.VMEM((dr, Y, Z), dtype),
+        fbuf=pltpu.VMEM((dr, Y, Z), jnp.int8),
+        obuf=pltpu.VMEM((dr, Y, Z), dtype),
+        xsem=pltpu.SemaphoreType.DMA((xr,)),
+        dsem=pltpu.SemaphoreType.DMA((dr,)),
+        fsem=pltpu.SemaphoreType.DMA((dr,)),
+        osem=pltpu.SemaphoreType.DMA((dr,)),
     )
+
+
+def _rings_for(plane_bytes: int):
+    """(x_ring, df/out_ring) slot counts: deep prefetch for small planes
+    (latency-bound), shallow for large planes (VMEM-bound)."""
+    for xr, dr in ((8, 4), (6, 3), (5, 2), (4, 2)):
+        vmem = (xr + 2 * dr) * plane_bytes + dr * (plane_bytes // 4)
+        if vmem < 11 * 1024 * 1024:
+            return xr, dr
+    return None
 
 
 def supports_v2(shape, dtype) -> bool:
     X, Y, Z = shape
-    plane_bytes = Y * Z * 4
-    # 16 f32 plane slots + 4 int8 slots must fit comfortably in ~16 MB VMEM
-    return X >= 8 and (16 * plane_bytes + 4 * Y * Z) < 12 * 1024 * 1024
+    rings = _rings_for(Y * Z * 4)
+    return rings is not None and X >= rings[0]
 
 
 @functools.partial(jax.jit, static_argnames=("w", "periodic", "interpret"))
@@ -280,9 +289,10 @@ def stencil_matvec_pallas_v2(x, diag, free, w, periodic, interpret=False):
                  mode="wrap" if periodic[0] else "constant")
     diag_full = jnp.broadcast_to(jnp.asarray(diag, dtype), x.shape)
     free8 = free.astype(jnp.int8)
+    xr, dr = _rings_for(Y * Z * 4)
     kernel = functools.partial(
         _matvec_kernel_v2, w=tuple(float(v) for v in w),
-        periodic_yz=(periodic[1], periodic[2]), n_planes=X,
+        periodic_yz=(periodic[1], periodic[2]), n_planes=X, xr=xr, dr=dr,
     )
     return pl.pallas_call(
         kernel,

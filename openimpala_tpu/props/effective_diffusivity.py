@@ -46,7 +46,8 @@ def effective_diffusivity(
     eps: float = 1e-9,
     maxiter: int = 20000,
     method: str = "cg",
-    precond: str = "mg",
+    precond: str = "auto",
+    precond_opts: dict = None,
     dx=(1.0, 1.0, 1.0),
     inner_dtype=jnp.float32,
     dtype=jnp.float64,
@@ -77,7 +78,7 @@ def effective_diffusivity(
         x0 = jnp.zeros(phase.shape, storage)  # xinit = 0 (EffDiffFillMtx.F90:126)
         chi_k, info = solve_system(
             system, x0, eps=eps, maxiter=maxiter, method=method, precond=precond,
-            inner_dtype=inner_dtype, outer_dtype=dtype,
+            inner_dtype=inner_dtype, outer_dtype=dtype, precond_opts=precond_opts,
         )
         chis.append(chi_k)
         iters.append(int(info.iterations))

@@ -63,7 +63,7 @@ def rev_study(
     eps: float = 1e-9,
     maxiter: int = 20000,
     method: str = "cg",
-    precond: str = "mg",
+    precond: str = "auto",
     rng=None,
     csv_path: str | None = None,
     verbose: int = 0,

@@ -60,7 +60,8 @@ def tortuosity(
     eps: float = 1e-9,
     maxiter: int = 20000,
     method: str = "cg",
-    precond: str = "mg",
+    precond: str = "auto",
+    precond_opts: dict = None,
     dx=(1.0, 1.0, 1.0),
     remspot_passes: int = 0,
     percolation_method: str = "auto",
@@ -99,7 +100,7 @@ def tortuosity(
 
     x_full, info = solve_system(
         system, x0_free, eps=eps, maxiter=maxiter, method=method, precond=precond,
-        inner_dtype=inner_dtype, outer_dtype=dtype,
+        inner_dtype=inner_dtype, outer_dtype=dtype, precond_opts=precond_opts,
     )
     iterations = int(info.iterations)
     rel_res = float(info.rel_res)

@@ -26,28 +26,25 @@ class SolveResult:
 
 
 def jacobi_preconditioner(system):
-    """Diagonal scaling; forced rows are zeroed because residuals live on
-    the free set."""
-    diag = system.diag
-    free = system.free
+    """Diagonal scaling as a pytree (see solve/preconditioners.py — closure
+    preconditioners embed their arrays as HLO constants)."""
+    from .preconditioners import JacobiPreconditioner
 
-    def M(r):
-        safe = jnp.where(jnp.broadcast_to(diag, r.shape) > 0, diag, 1.0).astype(r.dtype)
-        return jnp.where(free, r / safe, jnp.zeros((), r.dtype))
-
-    return M
+    return JacobiPreconditioner.from_system(system)
 
 
 def _dot(a, b):
     return jnp.sum(a * b)
 
 
-@partial(jax.jit, static_argnames=("maxiter", "precond"))
+@partial(jax.jit, static_argnames=("maxiter",))
 def _cg_loop(system, r0, denom, eps, maxiter: int, precond):
+    # ``precond`` is a pytree dataclass (arrays as leaves) — NOT a closure —
+    # so its state enters as arguments and the HLO stays constant-free.
     dtype = r0.dtype
     eps = jnp.asarray(eps, dtype)
     denom = jnp.asarray(denom, dtype)
-    M = precond if precond is not None else (lambda r: r)
+    M = precond
 
     z = jnp.zeros_like(r0)
     r = r0
@@ -83,7 +80,66 @@ def _cg_loop(system, r0, denom, eps, maxiter: int, precond):
     return SolveResult(z=z, iterations=it, rel_res=rel, converged=rel <= eps)
 
 
-def cg(system, r0, denom, eps, maxiter: int, precond=None) -> SolveResult:
+@jax.jit
+def _cg_step(system, precond, z, r, p, rz):
+    """One PCG iteration as a standalone jitted program (host-loop mode)."""
+    ap = system.apply(p)
+    pap = _dot(p, ap)
+    ok = pap > 0
+    alpha = jnp.where(ok, rz / jnp.where(ok, pap, 1.0), 0.0)
+    z = z + alpha * p
+    r = r - alpha * ap
+    rr = _dot(r, r)
+    y = precond(r)
+    rz_new = _dot(r, y)
+    beta = jnp.where(rz > 0, rz_new / jnp.where(rz > 0, rz, 1.0), 0.0)
+    p = y + beta * p
+    return z, r, p, rz_new, rr, ok
+
+
+def _cg_host_loop(system, r0, denom, eps, maxiter: int, precond,
+                  check_every: int = 10):
+    """PCG with the iteration driven from the host.
+
+    Functionally identical to ``_cg_loop`` but each iteration is its own
+    jitted dispatch and convergence is checked host-side every
+    ``check_every`` steps.  Used for large volumes with the multigrid
+    preconditioner: the single fused while(CG(V-cycle)) program crashes the
+    TPU runtime above ~256^3, while the per-iteration program is robust —
+    and at ~50-100 preconditioned iterations the dispatch overhead is noise.
+    """
+    dtype = r0.dtype
+    eps_v = float(eps)
+    denom_v = float(denom)
+    z = jnp.zeros_like(r0)
+    r = r0
+    y = precond(r)
+    p = y
+    rz = _dot(r, y)
+    it = 0
+    rel = float(jnp.sqrt(_dot(r, r))) / denom_v
+    while rel > eps_v and it < maxiter:
+        steps = min(check_every, maxiter - it)
+        for _ in range(steps):
+            z, r, p, rz, rr, ok = _cg_step(system, precond, z, r, p, rz)
+        it += steps
+        rel = float(jnp.sqrt(rr)) / denom_v
+        if not bool(ok) or not (rel == rel):  # breakdown or NaN
+            break
+    return SolveResult(
+        z=z, iterations=jnp.asarray(it, jnp.int32),
+        rel_res=jnp.asarray(rel, dtype), converged=jnp.asarray(rel <= eps_v),
+    )
+
+
+# fused while-loop programs above this many cells crash the tunnelled TPU
+# runtime when a multigrid V-cycle is inlined in the loop body; the host
+# loop is the robust path there (see _cg_host_loop)
+HOST_LOOP_THRESHOLD_CELLS = 192 ** 3
+
+
+def cg(system, r0, denom, eps, maxiter: int, precond=None,
+       host_loop: bool | None = None) -> SolveResult:
     """Solve ``A z = r0`` on the free set with z0 = 0.
 
     ``denom`` is the relative-residual denominator — pass ``system.b_norm``
@@ -91,6 +147,18 @@ def cg(system, r0, denom, eps, maxiter: int, precond=None) -> SolveResult:
     (``TortuosityHypre.cpp:686-688``).  A zero denominator falls back to
     ``||r0||`` (and to 1 when r0 is zero too).
     """
+    from .preconditioners import IdentityPreconditioner, MultigridPreconditioner
+
+    if precond is None:
+        precond = IdentityPreconditioner()
     denom = jnp.where(denom > 0, denom, jnp.sqrt(_dot(r0, r0)))
     denom = jnp.where(denom > 0, denom, 1.0)
+    if host_loop is None:
+        host_loop = (
+            isinstance(precond, MultigridPreconditioner)
+            and r0.size >= HOST_LOOP_THRESHOLD_CELLS
+            and jax.default_backend() == "tpu"
+        )
+    if host_loop:
+        return _cg_host_loop(system, r0, denom, eps, int(maxiter), precond)
     return _cg_loop(system, r0, denom, eps, int(maxiter), precond)

@@ -23,14 +23,15 @@ import jax.numpy as jnp
 from .cg import SolveResult, _dot
 
 
-@partial(jax.jit, static_argnames=("maxiter", "precond", "restart"))
+@partial(jax.jit, static_argnames=("maxiter", "restart"))
 def _fgmres_loop(system, r0, denom, eps, maxiter: int, precond, restart: int):
+    # ``precond`` is a pytree dataclass — see solve/preconditioners.py
     dtype = r0.dtype
     shape = r0.shape
     m = restart
     eps = jnp.asarray(eps, dtype)
     denom = jnp.asarray(denom, dtype)
-    M = precond if precond is not None else (lambda r: r)
+    M = precond
     tiny = jnp.asarray(1e-30, dtype)
 
     def arnoldi_cycle(z, r):
@@ -115,6 +116,10 @@ def _fgmres_loop(system, r0, denom, eps, maxiter: int, precond, restart: int):
 
 def fgmres(system, r0, denom, eps, maxiter: int, precond=None, restart: int = 20):
     """Solve ``A z = r0`` (free set, z0=0) with restarted flexible GMRES."""
+    from .preconditioners import IdentityPreconditioner
+
+    if precond is None:
+        precond = IdentityPreconditioner()
     denom = jnp.where(denom > 0, denom, jnp.sqrt(_dot(r0, r0)))
     denom = jnp.where(denom > 0, denom, 1.0)
     return _fgmres_loop(system, r0, denom, eps, int(maxiter), precond, int(restart))

@@ -51,15 +51,27 @@ def _outer_residual(system, x_outer, outer_dtype):
     return r, jnp.sqrt(jnp.sum(r * r))
 
 
-def make_precond(sys_, precond):
+def make_precond(sys_, precond, opts=None):
+    opts = opts or {}
+    if precond == "auto":
+        # Multigrid converges in the fewest iterations, but on the tunnelled
+        # single-TPU runtime the fused while(CG(V-cycle)) program crashes
+        # above ~256^3 and the host-driven loop pays seconds of dispatch
+        # latency per iteration — there, Jacobi inside the fused device loop
+        # is the fastest reliable path.  CPU (and small TPU volumes) use MG.
+        import jax as _jax
+
+        big_tpu = (_jax.default_backend() == "tpu"
+                   and sys_.free.size > 192 ** 3)
+        precond = "jacobi" if big_tpu else "mg"
     if precond is None or precond == "none":
         return None
     if precond == "jacobi":
         return jacobi_preconditioner(sys_)
     if precond == "mg":
-        from .multigrid import make_multigrid_preconditioner
+        from .preconditioners import MultigridPreconditioner
 
-        return make_multigrid_preconditioner(sys_)
+        return MultigridPreconditioner.from_system(sys_, **opts)
     return precond
 
 
@@ -75,6 +87,7 @@ def solve_system(
     max_refine_rounds: int = 8,
     inner_round_cap: int = 5000,
     outer_dtype=jnp.float64,
+    precond_opts=None,
 ):
     """Solve the StencilSystem to ``||b - A x|| / ||b_full|| <= eps``.
 
@@ -94,13 +107,13 @@ def solve_system(
     if inner_dtype is None or jnp.dtype(inner_dtype) == jnp.dtype(outer_dtype):
         r0 = system.initial_residual(x0_free.astype(storage_dtype))
         res = _krylov(method, system, r0, system.b_norm, eps, maxiter,
-                      make_precond(system, precond))
+                      make_precond(system, precond, precond_opts))
         x_full = system.assemble_solution(x0_free + res.z)
         return x_full, res
 
     if jnp.dtype(storage_dtype) != jnp.dtype(inner_dtype):
         system = system.astype(inner_dtype)
-    M_lo = make_precond(system, precond)
+    M_lo = make_precond(system, precond, precond_opts)
     denom = jnp.maximum(system.b_norm.astype(outer_dtype), 0.0)
     denom = jnp.where(denom > 0, denom, 1.0)
 

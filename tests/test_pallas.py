@@ -53,3 +53,31 @@ def test_fused_dot(mask, rng):
         with_dot=True, interpret=True)
     want = float(jnp.sum(out * x))
     assert float(dot) == pytest.approx(want, rel=1e-5)
+
+
+@pytest.mark.parametrize("shape", [(10, 16, 128), (9, 16, 128), (32, 24, 256)])
+def test_v2_rolling_window_matches_xla(shape, rng):
+    from openimpala_tpu.ops.stencil_pallas import (
+        stencil_matvec_pallas_v2,
+        supports_v2,
+        _rings_for,
+    )
+
+    mask = rng.random(shape) < 0.7
+    system = make_tortuosity_system(jnp.asarray(mask), 0, -1.0, 1.0,
+                                    dtype=jnp.float32)
+    x = jnp.where(system.free,
+                  jnp.asarray(rng.standard_normal(shape), jnp.float32), 0.0)
+    want = np.asarray(system.apply(x))
+    got = np.asarray(stencil_matvec_pallas_v2(
+        x, system.diag, system.free, system.w, system.periodic,
+        interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_v2_ring_selection():
+    from openimpala_tpu.ops.stencil_pallas import _rings_for
+
+    assert _rings_for(256 * 256 * 4) == (8, 4)   # 256^3: deep prefetch
+    assert _rings_for(512 * 512 * 4) is not None  # 512^3 must be supported
+    assert _rings_for(2048 * 2048 * 4) is None    # plane too big for VMEM
