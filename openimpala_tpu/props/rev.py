@@ -55,6 +55,29 @@ def csv_row(s: RevSample) -> str:
     )
 
 
+def _draw_samples(phase, sizes, num_samples, rng, verbose):
+    """Random crop boxes: origin per axis uniform in [0, N-size]
+    (Diffusion.cpp:344-357), clipped, longside >= 8 (Diffusion.cpp:361)."""
+    shape = phase.shape
+    boxes = []
+    for s_idx in range(int(num_samples)):
+        for size in sizes:
+            size = int(size)
+            seed = []
+            for d in range(3):
+                hi = shape[d] - size
+                seed.append(0 if hi < 0 else int(rng.integers(0, hi + 1)))
+            lo = np.array(seed)
+            hi = np.minimum(lo + size, np.array(shape))
+            actual = tuple(int(h - l) for l, h in zip(lo, hi))
+            if min(1 if a == 0 else a for a in actual) == 0 or max(actual) < 8:
+                if verbose:
+                    print(f"  REV sample {s_idx+1} size {size}: skipped (small box)")
+                continue
+            boxes.append((s_idx + 1, size, tuple(int(v) for v in lo), actual))
+    return boxes
+
+
 def rev_study(
     phase: np.ndarray,
     phase_id: int,
@@ -67,15 +90,52 @@ def rev_study(
     rng=None,
     csv_path: str | None = None,
     verbose: int = 0,
+    batch: bool = False,
     **solve_kwargs,
 ):
     """Run the study; returns a list of RevSample and optionally streams a
     CSV (flushed row by row like the reference, ``Diffusion.cpp:498``, so
-    partial studies survive a crash)."""
+    partial studies survive a crash).
+
+    ``batch=True`` groups same-shape crops and solves each group's three
+    cell problems as ONE vmapped device program (solve/batched.py) — the
+    TPU-native form of the sweep (all samples' Krylov iterations run in
+    lockstep lanes).
+    """
     phase = np.asarray(phase)
-    shape = phase.shape
     if rng is None:
         rng = np.random.default_rng(12345 + int(num_samples))
+    boxes = _draw_samples(phase, sizes, num_samples, rng, verbose)
+
+    results = {}
+    if batch:
+        from ..solve.batched import batched_deff
+
+        groups = {}
+        for idx, (s_no, size, lo, actual) in enumerate(boxes):
+            groups.setdefault(actual, []).append(idx)
+        for actual, idxs in groups.items():
+            crops = np.stack([
+                phase[boxes[i][2][0]:boxes[i][2][0] + actual[0],
+                      boxes[i][2][1]:boxes[i][2][1] + actual[1],
+                      boxes[i][2][2]:boxes[i][2][2] + actual[2]]
+                for i in idxs
+            ])
+            deffs, convs = batched_deff(crops, phase_id, eps=eps,
+                                        maxiter=maxiter, **solve_kwargs)
+            for j, i in enumerate(idxs):
+                d = deffs[j] if convs[j] else np.full((3, 3), math.nan)
+                results[i] = (d, bool(convs[j]))
+    else:
+        for i, (s_no, size, lo, actual) in enumerate(boxes):
+            crop = phase[lo[0]:lo[0] + actual[0], lo[1]:lo[1] + actual[1],
+                         lo[2]:lo[2] + actual[2]]
+            res = effective_diffusivity(
+                crop, phase_id, eps=eps, maxiter=maxiter, method=method,
+                precond=precond, verbose=max(0, verbose - 1), **solve_kwargs,
+            )
+            d = res.deff if res.converged else np.full((3, 3), math.nan)
+            results[i] = (np.asarray(d), res.converged)
 
     out = []
     fh = open(csv_path, "w") if csv_path else None
@@ -83,38 +143,18 @@ def rev_study(
         fh.write(CSV_HEADER + "\n")
         fh.flush()
     try:
-        for s_idx in range(int(num_samples)):
-            for size in sizes:
-                size = int(size)
-                seed = []
-                for d in range(3):
-                    hi = shape[d] - size
-                    seed.append(0 if hi < 0 else int(rng.integers(0, hi + 1)))
-                lo = np.array(seed)
-                hi = np.minimum(lo + size, np.array(shape))
-                actual = tuple(int(h - l) for l, h in zip(lo, hi))
-                if min(1 if a == 0 else a for a in actual) == 0 or max(actual) < 8:
-                    if verbose:
-                        print(f"  REV sample {s_idx+1} size {size}: skipped (small box)")
-                    continue
-                crop = phase[lo[0]:hi[0], lo[1]:hi[1], lo[2]:hi[2]]
-                res = effective_diffusivity(
-                    crop, phase_id, eps=eps, maxiter=maxiter, method=method,
-                    precond=precond, verbose=max(0, verbose - 1), **solve_kwargs,
-                )
-                deff = res.deff if res.converged else np.full((3, 3), math.nan)
-                sample = RevSample(
-                    sample_no=s_idx + 1, seed=tuple(int(v) for v in lo),
-                    size_target=size, actual_size=actual, deff=np.asarray(deff),
-                    converged=res.converged,
-                )
-                out.append(sample)
-                if verbose:
-                    print(f"  REV sample {s_idx+1} size {size}: D_xx={deff[0,0]:.6f} "
-                          f"converged={res.converged}")
-                if fh:
-                    fh.write(csv_row(sample) + "\n")
-                    fh.flush()
+        for i, (s_no, size, lo, actual) in enumerate(boxes):
+            deff, conv = results[i]
+            sample = RevSample(sample_no=s_no, seed=lo, size_target=size,
+                               actual_size=actual, deff=np.asarray(deff),
+                               converged=conv)
+            out.append(sample)
+            if verbose:
+                print(f"  REV sample {s_no} size {size}: D_xx={deff[0,0]:.6f} "
+                      f"converged={conv}")
+            if fh:
+                fh.write(csv_row(sample) + "\n")
+                fh.flush()
     finally:
         if fh:
             fh.close()

@@ -182,3 +182,12 @@ class TestRevStudy:
         samples = rev_study(blob_phase, 1, sizes=(4,), num_samples=2,
                             precond="jacobi", inner_dtype=None)
         assert samples == []  # longside < 8 -> skipped (Diffusion.cpp:361)
+
+    def test_batched_matches_sequential(self, blob_phase):
+        seq = rev_study(blob_phase, 1, sizes=(10,), num_samples=3,
+                        precond="jacobi", inner_dtype=None)
+        bat = rev_study(blob_phase, 1, sizes=(10,), num_samples=3, batch=True)
+        assert len(seq) == len(bat) == 3
+        for a, b in zip(seq, bat):
+            assert a.seed == b.seed and a.actual_size == b.actual_size
+            np.testing.assert_allclose(a.deff, b.deff, atol=1e-7)
