@@ -114,7 +114,7 @@ def main():
     from openimpala_tpu.props.tortuosity import tortuosity
 
     t0 = time.time()
-    r = tortuosity(phase, 1, 0, eps=1e-9, precond="mg",
+    r = tortuosity(phase, 1, 0, eps=1e-9, precond="auto",
                    inner_dtype=jnp.float32, percolation_method="host")
     t_tau = time.time() - t0
     log(f"time-to-tortuosity ({n}^3, 1e-9): {t_tau:.2f}s  tau={r.value:.6f} "

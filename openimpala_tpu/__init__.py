@@ -9,9 +9,9 @@ tortuosity, and the effective-diffusivity tensor D_eff.
 
 Architecture (TPU-first, not a port):
 
-- ``parallel/``  device mesh + halo exchange (``shard_map`` + ``ppermute``)
-  replacing AMReX ``BoxArray``/``DistributionMapping``/``FillBoundary``.
-- ``grid/``      sharded volume container replacing ``MultiFab``.
+- ``parallel/``  device mesh, sharded volume placement, and halo exchange
+  (``shard_map`` + ``ppermute``) replacing AMReX ``BoxArray``/
+  ``DistributionMapping``/``MultiFab``/``FillBoundary``.
 - ``ops/``       masked stencil operators (pure-XLA and Pallas TPU kernels)
   replacing the Fortran fill kernels + Hypre StructMatrix — the solve is
   matrix-free.
@@ -37,6 +37,21 @@ if _os.environ.get("OPENIMPALA_NO_X64", "0") != "1":
     import jax as _jax
 
     _jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: XLA compiles of the 3-D stencil programs can
+# take minutes on tunnelled/remote TPU runtimes; cache them across runs.
+# Opt out with OPENIMPALA_NO_COMPILE_CACHE=1; JAX_COMPILATION_CACHE_DIR (or
+# an explicit jax.config call before import) takes precedence.
+if (_os.environ.get("OPENIMPALA_NO_COMPILE_CACHE", "0") != "1"
+        and "JAX_COMPILATION_CACHE_DIR" not in _os.environ):
+    import jax as _jax
+
+    if not _jax.config.jax_compilation_cache_dir:
+        _jax.config.update(
+            "jax_compilation_cache_dir",
+            _os.path.join(_os.path.expanduser("~"), ".cache", "openimpala_jax"),
+        )
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 __version__ = "0.1.0"
 

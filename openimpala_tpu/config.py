@@ -108,6 +108,8 @@ class DiffusionConfig:
     raw_height: int = 0
     raw_depth: int = 0
     raw_datatype: str = "UINT8"
+    # debug block (TortuosityHypre.cpp:543-544)
+    debug_write_active_mask: bool = False
     # TPU-native solver knobs (new surface)
     precond: str = "auto"
     krylov_maxiter: int = 20000
@@ -147,6 +149,9 @@ class DiffusionConfig:
         c.raw_height = pp.query("raw.height", c.raw_height, int)
         c.raw_depth = pp.query("raw.depth", c.raw_depth, int)
         c.raw_datatype = pp.query("raw.datatype", c.raw_datatype)
+        c.debug_write_active_mask = pp.query(
+            "debug.write_active_mask", c.debug_write_active_mask, bool
+        )
         c.precond = pp.query("solver.precond", c.precond)
         c.krylov_maxiter = pp.query("solver.krylov_maxiter", c.krylov_maxiter, int)
         c.inner_precision = pp.query("solver.inner_precision", c.inner_precision)

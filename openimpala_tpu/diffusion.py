@@ -124,7 +124,7 @@ def main(argv=None) -> int:
                 method=method, precond=cfg.precond,
                 remspot_passes=cfg.tortuosity_remspot_passes,
                 inner_dtype=inner_dtype, verbose=cfg.verbose,
-                return_fields=cfg.write_plotfile,
+                return_fields=cfg.write_plotfile or cfg.debug_write_active_mask,
             )
             results[f"Tortuosity_{name}"] = r.value
             print(f"  >>> Calculated Tortuosity ({name}): {r.value:.8f} <<<")
@@ -135,6 +135,14 @@ def main(argv=None) -> int:
                     "phase_id": phase.astype(np.float64),
                     "active_mask": np.asarray(r.active, np.float64),
                 })
+            elif cfg.debug_write_active_mask and r.active is not None:
+                # debug.write_active_mask (TortuosityHypre.cpp:543-556):
+                # dump just the percolation mask for inspection
+                base = os.path.join(cfg.results_path, f"active_mask_{name}")
+                write_volume_hdf5_xdmf(base, {
+                    "active_mask": np.asarray(r.active, np.float64),
+                    "phase_id": phase.astype(np.float64),
+                })
         out = os.path.join(cfg.results_path, cfg.output_filename)
         print(f"\nWriting final results to: {out}")
         write_results_txt(out, cfg.filename, cfg.phase_id, vf, results)
@@ -142,6 +150,12 @@ def main(argv=None) -> int:
         print(f"Unknown calculation_method: {cfg.calculation_method}",
               file=sys.stderr)
         return 2
+
+    if os.environ.get("OPENIMPALA_PROFILE", "0") == "1":
+        from .utils import profiling
+
+        print("\nPer-phase wall-clock (OPENIMPALA_PROFILE=1):")
+        profiling.report(file=sys.stdout)
 
     print(f"\nTotal run time (seconds) = {time.perf_counter() - t_start:.3f}")
     return 0

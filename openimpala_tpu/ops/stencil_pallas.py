@@ -297,12 +297,12 @@ def stencil_matvec_pallas_v2(x, diag, free, w, periodic, interpret=False):
     return pl.pallas_call(
         kernel,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_shape=jax.ShapeDtypeStruct((X, Y, Z), dtype),
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         cost_estimate=pl.CostEstimate(
             flops=10 * X * Y * Z,

@@ -81,7 +81,7 @@ def shard_map_stencil_apply(apply_padded, mesh, periodic, n_field_args=1):
     exchange explicitly with ppermute.  Used by the Pallas path and by
     parity tests against the GSPMD path.
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     spec = P(AXIS, None, None)
 

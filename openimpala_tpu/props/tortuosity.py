@@ -29,6 +29,7 @@ from ..ops.masks import linear_ramp
 from ..ops.stencil import make_tortuosity_system
 from ..solve.refine import solve_system
 from ..utils.common import parse_direction
+from ..utils.profiling import phase_timer
 
 TINY_FLUX = 1e-15  # reference tiny_flux_threshold, TortuosityHypre.cpp:64
 FLUX_TOL = 1e-6  # reference flux conservation gate, TortuosityHypre.cpp:794
@@ -74,11 +75,13 @@ def tortuosity(
     shape = phase.shape
 
     if remspot_passes > 0:
-        phase = np.asarray(remspot(jnp.asarray(phase), remspot_passes))
+        with phase_timer("tortuosity/remspot"):
+            phase = np.asarray(remspot(jnp.asarray(phase), remspot_passes))
 
-    active, active_vf = percolation_mask(
-        phase, phase_id, direction, method=percolation_method
-    )
+    with phase_timer("tortuosity/percolation_mask"):
+        active, active_vf = percolation_mask(
+            phase, phase_id, direction, method=percolation_method
+        )
 
     nanres = TortuosityResult(
         value=math.nan, deff=math.nan, active_vf=active_vf,
@@ -93,15 +96,17 @@ def tortuosity(
     # store the system in the Krylov dtype (coefficients are exact there);
     # the refinement driver upcasts to ``dtype`` on the fly — see refine.py
     storage = dtype if inner_dtype is None else inner_dtype
-    system = make_tortuosity_system(active_j, direction, vlo, vhi, dx,
-                                    dtype=storage)
-    ramp = linear_ramp(shape, direction, vlo, vhi, dtype=storage)
-    x0_free = jnp.where(system.free, ramp, jnp.zeros((), storage))
+    with phase_timer("tortuosity/system_setup"):
+        system = make_tortuosity_system(active_j, direction, vlo, vhi, dx,
+                                        dtype=storage)
+        ramp = linear_ramp(shape, direction, vlo, vhi, dtype=storage)
+        x0_free = jnp.where(system.free, ramp, jnp.zeros((), storage))
 
-    x_full, info = solve_system(
-        system, x0_free, eps=eps, maxiter=maxiter, method=method, precond=precond,
-        inner_dtype=inner_dtype, outer_dtype=dtype, precond_opts=precond_opts,
-    )
+    with phase_timer("tortuosity/solve"):
+        x_full, info = solve_system(
+            system, x0_free, eps=eps, maxiter=maxiter, method=method, precond=precond,
+            inner_dtype=inner_dtype, outer_dtype=dtype, precond_opts=precond_opts,
+        )
     iterations = int(info.iterations)
     rel_res = float(info.rel_res)
     converged = bool(info.converged)

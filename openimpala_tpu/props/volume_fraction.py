@@ -11,9 +11,20 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def volume_fraction_counts(phase, phase_id: int):
+def volume_fraction_counts(phase, phase_id: int, local: bool = False):
     """(phase_count, total_count) — the reference's
-    ``VolumeFraction::value(pc, tc)`` (``VolumeFraction.cpp:22-66``)."""
+    ``VolumeFraction::value(pc, tc, local)`` (``VolumeFraction.cpp:22-66``).
+
+    ``local=True`` mirrors the reference's skip-the-MPI-reduction mode: for a
+    device-sharded array it returns per-shard ``(counts, totals)`` lists (one
+    entry per addressable shard) instead of globally reduced scalars.
+    """
+    if local and hasattr(phase, "addressable_shards"):
+        shards = phase.addressable_shards
+        if len(shards) > 1:
+            counts = [int(np.asarray(s.data == phase_id).sum()) for s in shards]
+            totals = [int(np.asarray(s.data).size) for s in shards]
+            return counts, totals
     if isinstance(phase, np.ndarray):
         return int((phase == phase_id).sum()), int(phase.size)
     return int(jnp.sum(phase == phase_id)), int(phase.size)

@@ -137,9 +137,15 @@ def solve_system(
         r_lo = (r_hi / jnp.where(scale > 0, scale, 1.0)).astype(inner_dtype)
         # cap each round: float32 Krylov can stall just above inner_eps and
         # must not eat the whole budget — the refinement loop compounds the
-        # per-round reduction regardless
+        # per-round reduction regardless.  The round's tolerance is also
+        # ADAPTIVE: once rel is within a few decades of eps, only the
+        # remaining reduction factor (with a 0.3 safety margin) is requested —
+        # solving every round to inner_eps overshoots the final residual by
+        # orders of magnitude and wastes ~25% of the Krylov iterations.
+        need = float(eps / rel) * 0.3 if rel > 0 else inner_eps
+        round_eps = min(max(inner_eps, need), 0.099)
         inner = _krylov(method, system, r_lo, jnp.asarray(1.0, inner_dtype),
-                        inner_eps, min(budget, int(inner_round_cap)), M_lo)
+                        round_eps, min(budget, int(inner_round_cap)), M_lo)
         z_total = z_total + scale * inner.z.astype(outer_dtype)
         total_iters = total_iters + inner.iterations
         budget -= int(inner.iterations)
