@@ -81,7 +81,7 @@ def main():
 
     phase = synth_phase(n)
     t0 = time.time()
-    active, active_vf = percolation_mask(phase, 1, 0, method="host")
+    active, active_vf = percolation_mask(phase, 1, 0, method="auto")
     log(f"percolation mask: {time.time()-t0:.2f}s  active_vf={active_vf:.4f}")
 
     active_j = jnp.asarray(active)
@@ -115,7 +115,7 @@ def main():
 
     t0 = time.time()
     r = tortuosity(phase, 1, 0, eps=1e-9, precond="auto",
-                   inner_dtype=jnp.float32, percolation_method="host")
+                   inner_dtype=jnp.float32, percolation_method="auto")
     t_tau = time.time() - t0
     log(f"time-to-tortuosity ({n}^3, 1e-9): {t_tau:.2f}s  tau={r.value:.6f} "
         f"iters={r.iterations} rel_res={r.rel_res:.2e} conv={r.converged}")

@@ -81,6 +81,18 @@ def set_pallas_mode(mode: str):
     _PALLAS_MODE = mode
 
 
+def apply_restricted_xla(x, diag, free, w, periodic):
+    """The pure-XLA form of the free-set operator, always available.
+
+    Needed explicitly (not just as apply_restricted's fallback) because the
+    Pallas kernel crashes the TPU runtime when invoked from *nested* control
+    flow (fori_loop-in-while_loop, as in multigrid smoothing at >=512^3);
+    callers in that position pin the XLA path regardless of _PALLAS_MODE.
+    """
+    return jnp.where(free, diag * x - neighbor_sum(x, w, periodic),
+                     jnp.zeros((), x.dtype))
+
+
 def apply_restricted(x, diag, free, w, periodic):
     """Action of the free-set operator: ``free ? diag*x - sum w x_nbr : 0``.
 
@@ -101,7 +113,7 @@ def apply_restricted(x, diag, free, w, periodic):
             return stencil_pallas.stencil_matvec_pallas(
                 x, jnp.asarray(diag), free, w, periodic
             )
-    return jnp.where(free, diag * x - neighbor_sum(x, w, periodic), jnp.zeros((), x.dtype))
+    return apply_restricted_xla(x, diag, free, w, periodic)
 
 
 @jax.tree_util.register_dataclass

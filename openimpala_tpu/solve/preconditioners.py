@@ -16,7 +16,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from ..ops.stencil import apply_restricted, weighted_degree
+from ..ops.stencil import apply_restricted, apply_restricted_xla, weighted_degree
 
 
 @jax.tree_util.register_dataclass
@@ -46,6 +46,68 @@ class JacobiPreconditioner:
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
+class ChebyshevPreconditioner:
+    """Fixed-degree Chebyshev polynomial preconditioner on the
+    Jacobi-scaled operator D^{-1}A (PETSc/hypre-style recurrence).
+
+    M^{-1} = p_d(D^{-1}A) D^{-1} is a fixed SPD polynomial operator, so CG
+    remains valid.  Why it pays on TPU: a plain Jacobi-CG iteration moves
+    ~5x the matvec's HBM bytes in vector updates and dot products, while a
+    Chebyshev step is matvec + three fused AXPYs and NO reductions — the
+    polynomial replaces ~degree outer CG iterations with near-matvec-cost
+    steps, so the per-matvec overhead (and the while_loop's two sync points
+    per iteration) is amortised ``degree``-fold.
+
+    Spectrum interval: lambda_max(D^{-1}A) <= 2 by Gershgorin for both
+    masked operators (row sums of |off-diagonals| <= diagonal); ``hi`` is a
+    slight over-estimate of that bound, ``lo = hi/ratio`` with the usual
+    smoothing ratio ~16-30: modes below ``lo`` are left for the outer CG.
+    """
+
+    diag: jax.Array
+    free: jax.Array
+    w: tuple = dataclasses.field(metadata=dict(static=True))
+    periodic: tuple = dataclasses.field(metadata=dict(static=True))
+    degree: int = dataclasses.field(default=8, metadata=dict(static=True))
+    hi: float = dataclasses.field(default=2.0, metadata=dict(static=True))
+    ratio: float = dataclasses.field(default=24.0, metadata=dict(static=True))
+
+    @classmethod
+    def from_system(cls, system, degree: int = 8, hi: float = 2.0,
+                    ratio: float = 24.0):
+        return cls(diag=jnp.broadcast_to(system.diag, system.free.shape)
+                   .astype(system.r0_b.dtype),
+                   free=system.free, w=system.w, periodic=system.periodic,
+                   degree=int(degree), hi=float(hi), ratio=float(ratio))
+
+    def _minv(self, v):
+        ok = self.free & (self.diag > 0)
+        safe = jnp.where(self.diag > 0, self.diag, jnp.ones((), v.dtype))
+        return jnp.where(ok, v / safe.astype(v.dtype), jnp.zeros((), v.dtype))
+
+    def _apply_A(self, v):
+        return apply_restricted(v, self.diag, self.free, self.w, self.periodic)
+
+    def __call__(self, r):
+        lo = self.hi / self.ratio
+        theta = 0.5 * (self.hi + lo)
+        delta = 0.5 * (self.hi - lo)
+        sigma = theta / delta
+        rho = 1.0 / sigma
+        d = self._minv(r) * (1.0 / theta)
+        z = d
+        res = r
+        for _ in range(1, self.degree):
+            res = res - self._apply_A(d)
+            rho_new = 1.0 / (2.0 * sigma - rho)
+            d = (rho_new * rho) * d + (2.0 * rho_new / delta) * self._minv(res)
+            z = z + d
+            rho = rho_new
+        return z
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
 class MGLevel:
     diag: jax.Array  # per-cell diagonal (or scalar 0-d) on this level
     free: jax.Array
@@ -55,9 +117,209 @@ class MGLevel:
     def apply(self, x):
         return apply_restricted(x, self.diag, self.free, self.w, self.periodic)
 
+    def apply_xla(self, x):
+        # Pallas-free form: the TPU runtime crashes when the Pallas stencil
+        # kernel is dispatched from nested control flow (smoother fori_loop
+        # inside the Krylov while_loop at 512^3) — smoothing pins XLA.
+        return apply_restricted_xla(x, self.diag, self.free, self.w,
+                                    self.periodic)
+
 
 def _can_coarsen(shape):
     return all(s % 2 == 0 and s >= 8 for s in shape)
+
+
+# ---------------------------------------------------------------------------
+# Galerkin multigrid: face-conductance coarse operators
+# ---------------------------------------------------------------------------
+#
+# The fine operator has implicit unit face conductances c_ij = w_f on
+# free-free faces.  With piecewise-constant prolongation P (2x2x2 repeat) and
+# restriction R = P^T (block sum), the Galerkin coarse operator R A P is
+# EXACTLY another 7-point face-conductance operator:
+#
+#   c_H(coarse face) = sum of the 4 fine conductances crossing it
+#   diag_H           = blocksum(diag_h - sum_f c_f)  +  sum of adjacent c_H
+#
+# (the blocksum term is the "surplus" from links to eliminated cells —
+# Dirichlet planes and masked neighbours).  Unlike rediscretising an
+# OR-pooled mask (which turns one-voxel pore necks into full-width coarse
+# channels and walls into leaks, degrading the V-cycle to ~0.95
+# contraction on labyrinth masks), the summed conductances keep the coarse
+# problem's connectivity faithful to the fine one.
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ConductanceLevel:
+    """Variable-coefficient 7-point level: A x = diag*x - sum_f c_f x_nbr.
+
+    ``cx[i,j,k]`` is the conductance between cells i and i+1 (mod X) along
+    axis 0 (likewise cy/cz); on clamped axes the wrap entry [-1] is zero.
+    """
+
+    diag: jax.Array
+    cx: jax.Array
+    cy: jax.Array
+    cz: jax.Array
+
+    @property
+    def free(self):
+        return self.diag > 0
+
+    def apply(self, x):
+        c = (self.cx, self.cy, self.cz)
+        out = self.diag * x
+        for ax in range(3):
+            out = out - c[ax] * jnp.roll(x, -1, axis=ax)
+            out = out - jnp.roll(c[ax] * x, 1, axis=ax)
+        return jnp.where(self.free, out, jnp.zeros((), x.dtype))
+
+
+def _blocksum(x):
+    acc = None
+    for i in (0, 1):
+        for j in (0, 1):
+            for k in (0, 1):
+                sl = x[i::2, j::2, k::2]
+                acc = sl if acc is None else acc + sl
+    return acc
+
+
+def _face_sum(c, axis):
+    """Coarse face conductances: sum the 4 fine faces crossing each coarse
+    plane.  Crossing faces along ``axis`` sit at odd fine indices; the other
+    two axes are block-summed."""
+    sl = [slice(None)] * 3
+    sl[axis] = slice(1, None, 2)
+    crossing = c[tuple(sl)]
+    acc = None
+    o1, o2 = [a for a in range(3) if a != axis]
+    for j in (0, 1):
+        for k in (0, 1):
+            s = [slice(None)] * 3
+            s[o1] = slice(j, None, 2)
+            s[o2] = slice(k, None, 2)
+            sl4 = crossing[tuple(s)]
+            acc = sl4 if acc is None else acc + sl4
+    return acc
+
+
+def fine_conductances(system) -> "ConductanceLevel":
+    """Express the fine-level StencilSystem as a ConductanceLevel (used only
+    to seed Galerkin coarsening; level-0 smoothing keeps the fused
+    (diag, free) operator and its Pallas kernel)."""
+    free = system.free
+    dtype = system.r0_b.dtype
+    f = free.astype(dtype)
+    cs = []
+    for ax in range(3):
+        c = f * jnp.roll(f, -1, axis=ax) * jnp.asarray(system.w[ax], dtype)
+        if not system.periodic[ax]:
+            idx = [slice(None)] * 3
+            idx[ax] = -1
+            c = c.at[tuple(idx)].set(0.0)
+        cs.append(c)
+    diag = jnp.broadcast_to(system.diag, free.shape).astype(dtype)
+    diag = jnp.where(free, diag, jnp.zeros((), dtype))
+    return ConductanceLevel(diag=diag, cx=cs[0], cy=cs[1], cz=cs[2])
+
+
+def galerkin_coarsen(level: ConductanceLevel) -> "ConductanceLevel":
+    c = (level.cx, level.cy, level.cz)
+    surplus = level.diag - sum(
+        ci + jnp.roll(ci, 1, axis=ax) for ax, ci in enumerate(c)
+    )
+    # numerical dust: surplus is a sum/difference of exact small floats on
+    # the fine level but accumulates roundoff through repeated coarsening
+    surplus_H = _blocksum(jnp.where(level.free, surplus, jnp.zeros((), level.diag.dtype)))
+    cH = [_face_sum(ci, ax) for ax, ci in enumerate(c)]
+    diag_H = surplus_H + sum(
+        ci + jnp.roll(ci, 1, axis=ax) for ax, ci in enumerate(cH)
+    )
+    diag_H = jnp.where(diag_H > 0, diag_H, jnp.zeros((), diag_H.dtype))
+    return ConductanceLevel(diag=diag_H, cx=cH[0], cy=cH[1], cz=cH[2])
+
+
+def _prolong_pc(xc):
+    x = jnp.repeat(xc, 2, axis=0)
+    x = jnp.repeat(x, 2, axis=1)
+    return jnp.repeat(x, 2, axis=2)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class GalerkinMGPreconditioner:
+    """V-cycle on the Galerkin (face-conductance) hierarchy.
+
+    Level 0 smooths with the fused (diag, free) stencil operator — the
+    Pallas kernel on TPU — and deeper levels with ConductanceLevel.apply.
+    Damped-Jacobi smoothing with symmetric pre/post sweeps keeps the cycle
+    a fixed symmetric operator, so it is a valid CG preconditioner.
+    """
+
+    fine: MGLevel
+    levels: Tuple[ConductanceLevel, ...]
+    nu1: int = dataclasses.field(default=1, metadata=dict(static=True))
+    nu2: int = dataclasses.field(default=1, metadata=dict(static=True))
+    omega: float = dataclasses.field(default=0.9, metadata=dict(static=True))
+    coarse_sweeps: int = dataclasses.field(default=50, metadata=dict(static=True))
+
+    @classmethod
+    def from_system(cls, system, max_levels: int = 16, **kw):
+        fine = MGLevel(
+            diag=system.diag, free=system.free, w=system.w,
+            periodic=system.periodic,
+        )
+        # jit each construction step: built eagerly the op-by-op dispatches
+        # take ~85 s through a tunnelled TPU runtime at 512^3
+        levels = []
+        cur = jax.jit(fine_conductances)(system)
+        coarsen = jax.jit(galerkin_coarsen)
+        while len(levels) + 1 < max_levels and _can_coarsen(cur.diag.shape):
+            cur = coarsen(cur)
+            levels.append(cur)
+        return cls(fine=fine, levels=tuple(levels), **kw)
+
+    # -- smoothing ---------------------------------------------------------
+    def _smooth(self, apply_fn, diag, free, x, r, n: int):
+        inv_d = jnp.where(
+            free, jnp.asarray(self.omega, r.dtype)
+            / jnp.where(diag > 0, diag, jnp.ones((), r.dtype)),
+            jnp.zeros((), r.dtype),
+        )
+
+        def body(i, x):
+            return x + inv_d * (r - apply_fn(x))
+
+        return jax.lax.fori_loop(0, n, body, x)
+
+    def _vcycle(self, idx: int, r):
+        # idx 0 = fine (MGLevel); idx >= 1 = self.levels[idx-1]
+        if idx == 0:
+            lvl_apply = self.fine.apply_xla  # see MGLevel.apply_xla
+            diag = jnp.broadcast_to(self.fine.diag, r.shape).astype(r.dtype)
+            free = self.fine.free
+        else:
+            lvl = self.levels[idx - 1]
+            lvl_apply = lvl.apply
+            diag, free = lvl.diag.astype(r.dtype), lvl.free
+
+        x = jnp.zeros_like(r)
+        if idx == len(self.levels):  # coarsest
+            return self._smooth(lvl_apply, diag, free, x, r, self.coarse_sweeps)
+
+        x = self._smooth(lvl_apply, diag, free, x, r, self.nu1)
+        resid = jnp.where(free, r - lvl_apply(x), jnp.zeros((), r.dtype))
+        rc = _blocksum(resid)  # R = P^T (sum)
+        coarse_free = self.levels[idx].free
+        rc = jnp.where(coarse_free, rc, jnp.zeros((), r.dtype))
+        ec = self._vcycle(idx + 1, rc)
+        x = x + jnp.where(free, _prolong_pc(ec), jnp.zeros((), r.dtype))
+        return self._smooth(lvl_apply, diag, free, x, r, self.nu2)
+
+    def __call__(self, r):
+        return self._vcycle(0, r)
 
 
 # NB: the obvious 6-D reshape+reduce forms of these transfers crash the TPU

@@ -68,10 +68,18 @@ def make_precond(sys_, precond, opts=None):
         return None
     if precond == "jacobi":
         return jacobi_preconditioner(sys_)
+    if precond in ("cheby", "chebyshev"):
+        from .preconditioners import ChebyshevPreconditioner
+
+        return ChebyshevPreconditioner.from_system(sys_, **opts)
     if precond == "mg":
         from .preconditioners import MultigridPreconditioner
 
         return MultigridPreconditioner.from_system(sys_, **opts)
+    if precond == "gmg":
+        from .preconditioners import GalerkinMGPreconditioner
+
+        return GalerkinMGPreconditioner.from_system(sys_, **opts)
     return precond
 
 

@@ -98,3 +98,44 @@ def test_nonconvergence_reports_flag(problem):
     res = cg(system, r0, system.b_norm, 1e-12, 3)  # not enough iterations
     assert not bool(res.converged)
     assert float(res.rel_res) > 1e-12
+
+
+def test_galerkin_coarse_operator_identity():
+    """The face-conductance coarse operator must equal P^T A P exactly
+    (piecewise-constant prolongation P, block-sum restriction): for random
+    coarse vectors e_c, A_H e_c == blocksum(A(prolong(e_c)))."""
+    from openimpala_tpu.solve.preconditioners import (
+        _blocksum, _prolong_pc, fine_conductances, galerkin_coarsen,
+    )
+
+    rng = np.random.default_rng(11)
+    shape = (16, 12, 8)
+    active = rng.random(shape) < 0.7
+    active[:, 5, 3] = True
+    system = make_tortuosity_system(jnp.asarray(active), 0, -1.0, 1.0)
+
+    fine = fine_conductances(system)
+    coarse = galerkin_coarsen(fine)
+
+    for seed in range(3):
+        r = np.random.default_rng(seed)
+        ec = jnp.asarray(r.standard_normal([s // 2 for s in shape]))
+        ec = jnp.where(coarse.free, ec, 0.0)
+        lhs = coarse.apply(ec)
+        ef = jnp.where(system.free, _prolong_pc(ec), 0.0)
+        rhs = _blocksum(system.apply(ef))
+        rhs = jnp.where(coarse.free, rhs, 0.0)
+        np.testing.assert_allclose(np.asarray(lhs), np.asarray(rhs),
+                                   rtol=0, atol=1e-11)
+
+
+def test_galerkin_mg_reduces_iterations(problem):
+    system, x0, _ = problem
+    from openimpala_tpu.solve.preconditioners import GalerkinMGPreconditioner
+
+    r0 = system.initial_residual(x0)
+    plain = cg(system, r0, system.b_norm, 1e-9, 5000)
+    M = GalerkinMGPreconditioner.from_system(system)
+    pre = cg(system, r0, system.b_norm, 1e-9, 5000, precond=M)
+    assert bool(pre.converged)
+    assert int(pre.iterations) < int(plain.iterations)
