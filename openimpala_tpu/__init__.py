@@ -33,6 +33,14 @@ top (see ``solve/refine.py``), so enabling x64 does not slow the kernels.
 
 import os as _os
 
+# Some TPU runtime plugins override the JAX_PLATFORMS env var; the config
+# call below is honoured regardless, so OPENIMPALA_PLATFORM=cpu gives a
+# reliable platform override (e.g. CPU smoke runs on a TPU host).
+if _os.environ.get("OPENIMPALA_PLATFORM"):
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["OPENIMPALA_PLATFORM"])
+
 if _os.environ.get("OPENIMPALA_NO_X64", "0") != "1":
     import jax as _jax
 

@@ -223,7 +223,10 @@ def make_tortuosity_system(
     x_forced = jnp.where(on_lo, dtype(vlo), jnp.zeros(shape, dtype))
     x_forced = jnp.where(on_hi, dtype(vhi), x_forced)
 
-    r0_b = jnp.zeros(shape, dtype)  # rhs of free rows is 0
+    # rhs of free rows is identically 0 — a 0-d scalar (broadcast in
+    # initial_residual) instead of a full volume: at 512^3 the f32 array plus
+    # its f64 upcast in the refinement's outer residual cost ~1.6 GiB of HBM
+    r0_b = jnp.zeros((), dtype)
     # ||b_full||^2 = vlo^2 * #active(lo plane) + vhi^2 * #active(hi plane)
     n_lo = jnp.sum(on_lo, dtype=dtype)
     n_hi = jnp.sum(on_hi, dtype=dtype)
@@ -276,7 +279,7 @@ def make_cell_problem_system(
     b_norm = jnp.sqrt(jnp.sum(rhs * rhs))
     free = active
     return StencilSystem(
-        diag=diag, free=free, x_forced=jnp.zeros(shape, dtype), r0_b=rhs,
+        diag=diag, free=free, x_forced=jnp.zeros((), dtype), r0_b=rhs,
         b_norm=b_norm, w=w, periodic=periodic,
     )
 

@@ -80,6 +80,63 @@ def _cg_loop(system, r0, denom, eps, maxiter: int, precond):
     return SolveResult(z=z, iterations=it, rel_res=rel, converged=rel <= eps)
 
 
+@partial(jax.jit, static_argnames=("chunk",))
+def _cg_chunk(system, precond, state, denom, eps, chunk: int):
+    """``chunk`` guarded PCG iterations as ONE dispatch.
+
+    The tunnelled TPU runtime kills the worker when a single fused program
+    executes hundreds of multigrid-preconditioned iterations (empirically:
+    10 V(2,2)-preconditioned iterations at 512^3 run fine, ~hundreds crash;
+    plain Jacobi bodies run for thousands).  Chunking bounds the per-dispatch
+    work while keeping dispatch overhead 1/chunk of the per-step host loop.
+    Iterations past convergence pass state through unchanged.
+    """
+    dtype = state[1].dtype
+    eps = jnp.asarray(eps, dtype)
+    denom = jnp.asarray(denom, dtype)
+    M = precond
+
+    def body(_, st):
+        z, r, p, rz, it, rel, done = st
+        ap = system.apply(p)
+        pap = _dot(p, ap)
+        ok = pap > 0
+        alpha = jnp.where(ok, rz / jnp.where(ok, pap, 1.0), 0.0)
+        z2 = z + alpha * p
+        r2 = r - alpha * ap
+        rel2 = jnp.sqrt(_dot(r2, r2)) / denom
+        y = M(r2)
+        rz2 = _dot(r2, y)
+        beta = jnp.where(rz > 0, rz2 / jnp.where(rz > 0, rz, 1.0), 0.0)
+        p2 = y + beta * p
+        done2 = done | (rel2 <= eps) | (~ok)
+        sel = lambda new, old: jnp.where(done, old, new)
+        return (sel(z2, z), sel(r2, r), sel(p2, p), sel(rz2, rz),
+                sel(it + 1, it), sel(rel2, rel), done2)
+
+    return jax.lax.fori_loop(0, chunk, body, state)
+
+
+def _cg_chunked_loop(system, r0, denom, eps, maxiter: int, precond,
+                     chunk: int = 8):
+    """Host-driven PCG advancing ``chunk`` fused iterations per dispatch
+    (see _cg_chunk); convergence checked on the host between chunks."""
+    dtype = r0.dtype
+    z = jnp.zeros_like(r0)
+    y = precond(r0)
+    rz = _dot(r0, y)
+    rel0 = jnp.sqrt(_dot(r0, r0)) / jnp.asarray(denom, dtype)
+    state = (z, r0, y, rz, jnp.array(0, jnp.int32), rel0,
+             rel0 <= jnp.asarray(eps, dtype))
+    while True:
+        state = _cg_chunk(system, precond, state, denom, eps, chunk)
+        it = int(state[4])
+        if bool(state[6]) or it >= maxiter:  # may overshoot by < chunk
+            break
+    z, r, p, rz, it, rel, done = state
+    return SolveResult(z=z, iterations=it, rel_res=rel, converged=rel <= eps)
+
+
 @jax.jit
 def _cg_step(system, precond, z, r, p, rz):
     """One PCG iteration as a standalone jitted program (host-loop mode)."""
@@ -147,18 +204,20 @@ def cg(system, r0, denom, eps, maxiter: int, precond=None,
     (``TortuosityHypre.cpp:686-688``).  A zero denominator falls back to
     ``||r0||`` (and to 1 when r0 is zero too).
     """
-    from .preconditioners import IdentityPreconditioner, MultigridPreconditioner
+    from .preconditioners import (
+        GalerkinMGPreconditioner, IdentityPreconditioner, MultigridPreconditioner,
+    )
 
     if precond is None:
         precond = IdentityPreconditioner()
     denom = jnp.where(denom > 0, denom, jnp.sqrt(_dot(r0, r0)))
     denom = jnp.where(denom > 0, denom, 1.0)
+    big_tpu = (r0.size >= HOST_LOOP_THRESHOLD_CELLS
+               and jax.default_backend() == "tpu")
+    if big_tpu and isinstance(precond, GalerkinMGPreconditioner):
+        return _cg_chunked_loop(system, r0, denom, eps, int(maxiter), precond)
     if host_loop is None:
-        host_loop = (
-            isinstance(precond, MultigridPreconditioner)
-            and r0.size >= HOST_LOOP_THRESHOLD_CELLS
-            and jax.default_backend() == "tpu"
-        )
+        host_loop = isinstance(precond, MultigridPreconditioner) and big_tpu
     if host_loop:
         return _cg_host_loop(system, r0, denom, eps, int(maxiter), precond)
     return _cg_loop(system, r0, denom, eps, int(maxiter), precond)

@@ -125,15 +125,17 @@ def solve_system(
     denom = jnp.maximum(system.b_norm.astype(outer_dtype), 0.0)
     denom = jnp.where(denom > 0, denom, 1.0)
 
-    x0_free = x0_free.astype(outer_dtype)
-    z_total = jnp.zeros_like(x0_free)
+    # fold the initial guess into the accumulator: one persistent f64 volume
+    # instead of two (1 GiB saved at 512^3)
+    z_total = x0_free.astype(outer_dtype)
+    del x0_free
     total_iters = jnp.array(0, jnp.int32)
     rel = jnp.inf
     prev_rel = jnp.inf
     budget = int(maxiter)
 
     for _ in range(int(max_refine_rounds)):
-        r_hi, scale = _outer_residual(system, x0_free + z_total, jnp.dtype(outer_dtype).name)
+        r_hi, scale = _outer_residual(system, z_total, jnp.dtype(outer_dtype).name)
         rel = scale / denom
         if bool(rel <= eps):
             break
@@ -158,9 +160,9 @@ def solve_system(
         total_iters = total_iters + inner.iterations
         budget -= int(inner.iterations)
 
-    r_hi, scale = _outer_residual(system, x0_free + z_total, jnp.dtype(outer_dtype).name)
+    r_hi, scale = _outer_residual(system, z_total, jnp.dtype(outer_dtype).name)
     rel = scale / denom
-    x_full = system.astype(outer_dtype).assemble_solution(x0_free + z_total)
+    x_full = system.astype(outer_dtype).assemble_solution(z_total)
     info = SolveResult(
         z=z_total,
         iterations=total_iters,
