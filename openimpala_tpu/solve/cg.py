@@ -118,7 +118,7 @@ def _cg_chunk(system, precond, state, denom, eps, chunk: int):
 
 
 def _cg_chunked_loop(system, r0, denom, eps, maxiter: int, precond,
-                     chunk: int = 8):
+                     chunk: int = 16):
     """Host-driven PCG advancing ``chunk`` fused iterations per dispatch
     (see _cg_chunk); convergence checked on the host between chunks."""
     dtype = r0.dtype

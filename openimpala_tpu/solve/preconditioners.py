@@ -177,32 +177,17 @@ class ConductanceLevel:
 
 
 def _blocksum(x):
-    acc = None
-    for i in (0, 1):
-        for j in (0, 1):
-            for k in (0, 1):
-                sl = x[i::2, j::2, k::2]
-                acc = sl if acc is None else acc + sl
-    return acc
+    return _pairsum(_pairsum(_pairsum(x, 2), 1), 0)
 
 
 def _face_sum(c, axis):
     """Coarse face conductances: sum the 4 fine faces crossing each coarse
     plane.  Crossing faces along ``axis`` sit at odd fine indices; the other
-    two axes are block-summed."""
-    sl = [slice(None)] * 3
-    sl[axis] = slice(1, None, 2)
-    crossing = c[tuple(sl)]
-    acc = None
+    two axes are block-summed (done first — the odd-index selection then
+    touches 4x less data)."""
     o1, o2 = [a for a in range(3) if a != axis]
-    for j in (0, 1):
-        for k in (0, 1):
-            s = [slice(None)] * 3
-            s[o1] = slice(j, None, 2)
-            s[o2] = slice(k, None, 2)
-            sl4 = crossing[tuple(s)]
-            acc = sl4 if acc is None else acc + sl4
-    return acc
+    c = _pairsum(_pairsum(c, max(o1, o2)), min(o1, o2))
+    return _pairsel(c, axis, 1)
 
 
 def fine_conductances(system) -> "ConductanceLevel":
@@ -322,18 +307,39 @@ class GalerkinMGPreconditioner:
         return self._vcycle(0, r)
 
 
-# NB: the obvious 6-D reshape+reduce forms of these transfers crash the TPU
-# compiler outright at >= 384^3; strided-slice forms lower cleanly.
+# NB on lowering: the 6-D reshape+reduce forms of these transfers crash the
+# TPU compiler outright at >= 384^3, and stride-2 slicing (x[i::2,...]) runs
+# ~95x slower than the stencil itself at 512^3 (3.4 s vs 36 ms measured —
+# lane-interleaved gathers force relayouts).  The fast forms below reshape
+# ONE axis at a time into (n/2, 2) and reduce/select over the pair — all
+# contiguous, 4-D, and ~speed-of-light.
+
+
+def _pairsum(x, axis):
+    shape = list(x.shape)
+    shape[axis : axis + 1] = [shape[axis] // 2, 2]
+    return x.reshape(shape).sum(axis=axis + 1)
+
+
+def _pairsel(x, axis, parity: int):
+    """x[..., parity::2, ...] along ``axis`` without a strided gather:
+    pair-reshape then mask-and-sum (zero is the additive identity)."""
+    shape = list(x.shape)
+    shape[axis : axis + 1] = [shape[axis] // 2, 2]
+    sel = jnp.zeros((2,), x.dtype).at[parity].set(1)
+    sel = sel.reshape((1,) * (axis + 1) + (2,) + (1,) * (x.ndim - 1 - axis))
+    return (x.reshape(shape) * sel).sum(axis=axis + 1)
+
+
+def _pairany(m, axis):
+    shape = list(m.shape)
+    shape[axis : axis + 1] = [shape[axis] // 2, 2]
+    return m.reshape(shape).any(axis=axis + 1)
 
 
 def _restrict(x):
-    acc = None
-    for i in (0, 1):
-        for j in (0, 1):
-            for k in (0, 1):
-                sl = x[i::2, j::2, k::2]
-                acc = sl if acc is None else acc + sl
-    return acc * jnp.asarray(0.125, x.dtype)
+    x = _pairsum(_pairsum(_pairsum(x, 2), 1), 0)
+    return x * jnp.asarray(0.125, x.dtype)
 
 
 def _prolong(xc):
@@ -343,13 +349,7 @@ def _prolong(xc):
 
 
 def _coarsen_free(free):
-    acc = None
-    for i in (0, 1):
-        for j in (0, 1):
-            for k in (0, 1):
-                sl = free[i::2, j::2, k::2]
-                acc = sl if acc is None else acc | sl
-    return acc
+    return _pairany(_pairany(_pairany(free, 2), 1), 0)
 
 
 @jax.tree_util.register_dataclass

@@ -51,19 +51,22 @@ def _outer_residual(system, x_outer, outer_dtype):
     return r, jnp.sqrt(jnp.sum(r * r))
 
 
-def make_precond(sys_, precond, opts=None):
+def make_precond(sys_, precond, opts=None, method: str = "cg"):
     opts = opts or {}
     if precond == "auto":
-        # Multigrid converges in the fewest iterations, but on the tunnelled
-        # single-TPU runtime the fused while(CG(V-cycle)) program crashes
-        # above ~256^3 and the host-driven loop pays seconds of dispatch
-        # latency per iteration — there, Jacobi inside the fused device loop
-        # is the fastest reliable path.  CPU (and small TPU volumes) use MG.
+        # Galerkin multigrid wins everywhere it can run: 145 vs 7909
+        # iterations at 512^3.  On TPU above the fused-dispatch limit, CG
+        # has a chunked driver (solve/cg.py) that keeps each dispatch short;
+        # FGMRES does not yet, and a fused FGMRES(V-cycle) program at that
+        # size kills the remote TPU worker — it stays on Jacobi there.
         import jax as _jax
 
         big_tpu = (_jax.default_backend() == "tpu"
                    and sys_.free.size > 192 ** 3)
-        precond = "jacobi" if big_tpu else "mg"
+        if big_tpu and method not in ("cg", "pcg"):
+            precond = "jacobi"
+        else:
+            precond = "gmg"
     if precond is None or precond == "none":
         return None
     if precond == "jacobi":
@@ -115,13 +118,13 @@ def solve_system(
     if inner_dtype is None or jnp.dtype(inner_dtype) == jnp.dtype(outer_dtype):
         r0 = system.initial_residual(x0_free.astype(storage_dtype))
         res = _krylov(method, system, r0, system.b_norm, eps, maxiter,
-                      make_precond(system, precond, precond_opts))
+                      make_precond(system, precond, precond_opts, method))
         x_full = system.assemble_solution(x0_free + res.z)
         return x_full, res
 
     if jnp.dtype(storage_dtype) != jnp.dtype(inner_dtype):
         system = system.astype(inner_dtype)
-    M_lo = make_precond(system, precond, precond_opts)
+    M_lo = make_precond(system, precond, precond_opts, method)
     denom = jnp.maximum(system.b_norm.astype(outer_dtype), 0.0)
     denom = jnp.where(denom > 0, denom, 1.0)
 
