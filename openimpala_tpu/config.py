@@ -162,9 +162,18 @@ class DiffusionConfig:
 # (stringToSolverType, Diffusion.cpp:45-58) but only implements FlexGMRES
 # (TortuosityHypre.cpp:695-697).  We map each name onto our matrix-free
 # solvers; names with no analogue raise with a clear message.
+#
+# The reference needs (Flex)GMRES because its identity-row formulation is
+# non-symmetric; our eliminated free-set operator is SPD (ops/stencil.py),
+# where CG solves the SAME system to the SAME ||r||/||b|| criterion with
+# short recurrences — so the default "FlexGMRES" name gets CG (identical
+# results, 1/20th the Krylov memory: a restart-20 FGMRES basis at 512^3 is
+# ~11 GiB).  The explicit "GMRES"/"FGMRES" names keep the real restarted
+# FGMRES implementation (solve/fgmres.py).
 SOLVER_MAP = {
-    "flexgmres": "flexgmres",
+    "flexgmres": "cg",
     "gmres": "flexgmres",
+    "fgmres": "flexgmres",
     "pcg": "cg",
     "cg": "cg",
     "jacobi": "cg",  # Jacobi-preconditioned CG is the closest SPD analogue

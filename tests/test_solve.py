@@ -139,3 +139,22 @@ def test_galerkin_mg_reduces_iterations(problem):
     pre = cg(system, r0, system.b_norm, 1e-9, 5000, precond=M)
     assert bool(pre.converged)
     assert int(pre.iterations) < int(plain.iterations)
+
+
+def test_chunked_cg_matches_fused(problem):
+    """The chunked host-driven CG (used on TPU where long fused MG dispatches
+    kill the worker) must agree with the single fused while_loop."""
+    system, x0, _ = problem
+    from openimpala_tpu.solve.cg import _cg_chunked_loop
+    from openimpala_tpu.solve.preconditioners import GalerkinMGPreconditioner
+
+    M = GalerkinMGPreconditioner.from_system(system)
+    r0 = system.initial_residual(x0)
+    fused = cg(system, r0, system.b_norm, 1e-10, 500, precond=M)
+    chunked = _cg_chunked_loop(system, r0, system.b_norm, 1e-10, 500, M,
+                               chunk=7)
+    assert bool(chunked.converged)
+    np.testing.assert_allclose(np.asarray(chunked.z), np.asarray(fused.z),
+                               rtol=1e-8, atol=1e-10)
+    # chunk boundary may overshoot by < chunk iterations
+    assert abs(int(chunked.iterations) - int(fused.iterations)) < 7
