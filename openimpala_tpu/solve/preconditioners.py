@@ -249,6 +249,7 @@ class GalerkinMGPreconditioner:
     nu2: int = dataclasses.field(default=1, metadata=dict(static=True))
     omega: float = dataclasses.field(default=0.9, metadata=dict(static=True))
     coarse_sweeps: int = dataclasses.field(default=50, metadata=dict(static=True))
+    smoother: str = dataclasses.field(default="jacobi", metadata=dict(static=True))
 
     @classmethod
     def from_system(cls, system, max_levels: int = 16, **kw):
@@ -268,6 +269,8 @@ class GalerkinMGPreconditioner:
 
     # -- smoothing ---------------------------------------------------------
     def _smooth(self, apply_fn, diag, free, x, r, n: int):
+        if self.smoother == "cheby":
+            return self._smooth_cheby(apply_fn, diag, free, x, r, n)
         inv_d = jnp.where(
             free, jnp.asarray(self.omega, r.dtype)
             / jnp.where(diag > 0, diag, jnp.ones((), r.dtype)),
@@ -278,6 +281,39 @@ class GalerkinMGPreconditioner:
             return x + inv_d * (r - apply_fn(x))
 
         return jax.lax.fori_loop(0, n, body, x)
+
+    def _smooth_cheby(self, apply_fn, diag, free, x, r, degree: int):
+        """Degree-``degree`` Chebyshev smoothing on the upper spectrum of
+        D^{-1}A ([hi/6, hi], hi >= Gershgorin bound 2).  A fixed polynomial,
+        identical pre/post, so the V-cycle stays a symmetric operator.
+        One operator apply per degree — same cost as a Jacobi sweep with
+        markedly better high-frequency damping.
+
+        EXPERIMENTAL: the unrolled recurrence inlined at every level makes
+        the fused while(CG(V-cycle)) HLO explode — XLA took >3.5 min to
+        compile the 96^3 CPU program (vs seconds for the fori_loop Jacobi
+        smoother).  Opt in only where compile time is acceptable."""
+        hi = 2.2
+        lo = hi / 6.0
+        theta = 0.5 * (hi + lo)
+        delta = 0.5 * (hi - lo)
+        sigma = theta / delta
+        rho = 1.0 / sigma
+        inv_d = jnp.where(
+            free & (diag > 0),
+            1.0 / jnp.where(diag > 0, diag, jnp.ones((), r.dtype)),
+            jnp.zeros((), r.dtype),
+        )
+        res = r - apply_fn(x)
+        d = inv_d * res * (1.0 / theta)
+        x = x + d
+        for _ in range(degree - 1):
+            res = res - apply_fn(d)
+            rho_new = 1.0 / (2.0 * sigma - rho)
+            d = (rho_new * rho) * d + (2.0 * rho_new / delta) * (inv_d * res)
+            x = x + d
+            rho = rho_new
+        return x
 
     def _vcycle(self, idx: int, r):
         # idx 0 = fine (MGLevel); idx >= 1 = self.levels[idx-1]
