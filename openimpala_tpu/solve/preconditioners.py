@@ -245,8 +245,8 @@ class GalerkinMGPreconditioner:
 
     fine: MGLevel
     levels: Tuple[ConductanceLevel, ...]
-    nu1: int = dataclasses.field(default=1, metadata=dict(static=True))
-    nu2: int = dataclasses.field(default=1, metadata=dict(static=True))
+    nu1: int = dataclasses.field(default=2, metadata=dict(static=True))
+    nu2: int = dataclasses.field(default=2, metadata=dict(static=True))
     omega: float = dataclasses.field(default=0.9, metadata=dict(static=True))
     coarse_sweeps: int = dataclasses.field(default=50, metadata=dict(static=True))
     smoother: str = dataclasses.field(default="jacobi", metadata=dict(static=True))
