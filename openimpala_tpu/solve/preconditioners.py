@@ -250,6 +250,10 @@ class GalerkinMGPreconditioner:
     omega: float = dataclasses.field(default=0.9, metadata=dict(static=True))
     coarse_sweeps: int = dataclasses.field(default=50, metadata=dict(static=True))
     smoother: str = dataclasses.field(default="jacobi", metadata=dict(static=True))
+    # fine-level smoothing through the Pallas kernel: safe under the chunked
+    # CG driver (short dispatches); the pure-XLA pin is kept for the fused
+    # while_loop path where very long MG dispatches kill the remote runtime
+    fine_pallas: bool = dataclasses.field(default=False, metadata=dict(static=True))
 
     @classmethod
     def from_system(cls, system, max_levels: int = 16, **kw):
@@ -318,7 +322,8 @@ class GalerkinMGPreconditioner:
     def _vcycle(self, idx: int, r):
         # idx 0 = fine (MGLevel); idx >= 1 = self.levels[idx-1]
         if idx == 0:
-            lvl_apply = self.fine.apply_xla  # see MGLevel.apply_xla
+            lvl_apply = (self.fine.apply if self.fine_pallas
+                         else self.fine.apply_xla)  # see MGLevel.apply_xla
             diag = jnp.broadcast_to(self.fine.diag, r.shape).astype(r.dtype)
             free = self.fine.free
         else:
