@@ -158,3 +158,20 @@ def test_chunked_cg_matches_fused(problem):
                                rtol=1e-8, atol=1e-10)
     # chunk boundary may overshoot by < chunk iterations
     assert abs(int(chunked.iterations) - int(fused.iterations)) < 7
+
+
+def test_chebyshev_preconditioner_converges_faster(problem):
+    """Opt-in precond="cheby": fixed SPD polynomial in the Jacobi-scaled
+    operator — must cut outer iterations vs plain CG and reach the same
+    solution."""
+    system, x0, x_direct = problem
+    from openimpala_tpu.solve.preconditioners import ChebyshevPreconditioner
+
+    r0 = system.initial_residual(x0)
+    plain = cg(system, r0, system.b_norm, 1e-10, 5000)
+    M = ChebyshevPreconditioner.from_system(system, degree=4)
+    pre = cg(system, r0, system.b_norm, 1e-10, 5000, precond=M)
+    assert bool(pre.converged)
+    assert int(pre.iterations) < int(plain.iterations)
+    x_full = system.assemble_solution(x0 + pre.z)
+    np.testing.assert_allclose(np.asarray(x_full), x_direct, atol=1e-8)
