@@ -82,6 +82,8 @@ def main(argv=None) -> int:
             eps=cfg.eps, maxiter=cfg.krylov_maxiter,
             method=resolve_solver(cfg.rev_solver_type), precond=cfg.precond,
             csv_path=csv_path, verbose=cfg.rev_verbose, inner_dtype=inner_dtype,
+            plotfile_dir=(os.path.join(cfg.results_path, "rev_plotfiles")
+                          if cfg.rev_write_plotfiles else None),
         )
         print(f"REV study CSV written to: {csv_path}")
 

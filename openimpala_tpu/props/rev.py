@@ -91,6 +91,7 @@ def rev_study(
     csv_path: str | None = None,
     verbose: int = 0,
     batch: bool = False,
+    plotfile_dir: str | None = None,
     **solve_kwargs,
 ):
     """Run the study; returns a list of RevSample and optionally streams a
@@ -132,10 +133,27 @@ def rev_study(
                          lo[2]:lo[2] + actual[2]]
             res = effective_diffusivity(
                 crop, phase_id, eps=eps, maxiter=maxiter, method=method,
-                precond=precond, verbose=max(0, verbose - 1), **solve_kwargs,
+                precond=precond, verbose=max(0, verbose - 1),
+                return_fields=plotfile_dir is not None, **solve_kwargs,
             )
             d = res.deff if res.converged else np.full((3, 3), math.nan)
             results[i] = (np.asarray(d), res.converged)
+            if plotfile_dir is not None and res.chi is not None:
+                # rev.write_plotfiles: per-sample chi-field snapshots
+                # (Diffusion.cpp:442-447)
+                import os
+
+                from ..io.writers import write_volume_hdf5_xdmf
+
+                os.makedirs(plotfile_dir, exist_ok=True)
+                base = os.path.join(plotfile_dir,
+                                    f"rev_chi_s{s_no}_sz{size}")
+                write_volume_hdf5_xdmf(base, {
+                    "chi_x": np.asarray(res.chi[0]),
+                    "chi_y": np.asarray(res.chi[1]),
+                    "chi_z": np.asarray(res.chi[2]),
+                    "phase": crop.astype(np.float64),
+                })
 
     out = []
     fh = open(csv_path, "w") if csv_path else None
