@@ -185,6 +185,7 @@ def make_tortuosity_system(
     vhi: float,
     dx=(1.0, 1.0, 1.0),
     dtype=jnp.float64,
+    hi_plane: int | None = None,
 ) -> StencilSystem:
     """Build the flow-through system for a percolation mask ``active``.
 
@@ -197,12 +198,19 @@ def make_tortuosity_system(
     The initial iterate is the reference's linear ramp restricted to active
     cells (``TortuosityHypreFill.F90:233-262``) — pass
     ``linear_ramp(...)`` based x0 via ``initial_residual``.
+
+    ``hi_plane`` overrides the outlet Dirichlet plane index (default: the
+    last plane).  Used when the volume is padded along ``direction`` with
+    inactive cells for mesh divisibility: the outlet stays at the original
+    domain face, and the padding (all-inactive, hence identity rows never
+    referenced by any free row) changes no result.
     """
     periodic = (False, False, False)
     w = _weights(dx)
     active = active.astype(bool)
     shape = active.shape
     n = shape[direction]
+    hi = n - 1 if hi_plane is None else int(hi_plane)
 
     diag = weighted_degree(active, w, periodic, dtype)
     # Safety decouple: an active cell with NO active neighbours becomes an
@@ -216,7 +224,7 @@ def make_tortuosity_system(
     idx = jnp.arange(n)
     idx = idx.reshape([-1 if a == direction else 1 for a in range(3)])
     on_lo = (idx == 0) & connected
-    on_hi = (idx == n - 1) & connected
+    on_hi = (idx == hi) & connected
     dirichlet = on_lo | on_hi
     free = connected & ~dirichlet
 

@@ -36,6 +36,35 @@ def volume_pspec() -> P:
     return P(AXIS, None, None)
 
 
+# Auto-sharding engages only above this volume size: tiny problems are
+# faster single-device (collective latency dominates) and the unit-test
+# volumes stay byte-identical to their single-device goldens.
+AUTO_SHARD_MIN_CELLS = 96 ** 3
+
+
+def resolve_mesh(mesh, shape, min_cells: int = AUTO_SHARD_MIN_CELLS) -> Mesh | None:
+    """Resolve a driver's ``mesh`` argument.
+
+    ``mesh`` may be ``None`` (single device), a ``jax.sharding.Mesh`` (used
+    as given), or ``"auto"``: build a 1-D mesh over all local devices when
+    there is more than one and the volume is large enough to amortise the
+    collectives.  This is the TPU-native counterpart of the reference running
+    the same binary on any MPI rank count (``Diffusion.cpp:174``).
+    """
+    if mesh is None:
+        return None
+    if isinstance(mesh, Mesh):
+        return mesh if mesh.devices.size > 1 else None
+    if mesh == "auto":
+        devices = jax.devices()
+        if len(devices) <= 1:
+            return None
+        if int(np.prod(shape)) < min_cells:
+            return None
+        return make_mesh(devices)
+    raise ValueError(f"mesh must be None, 'auto', or a Mesh; got {mesh!r}")
+
+
 def shard_volume(x, mesh: Mesh | None):
     """Place a (X, Y, Z) array on ``mesh`` sharded along the X axis.
 

@@ -20,12 +20,14 @@ from __future__ import annotations
 import dataclasses
 import math
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..ops.flux import deff_integrand_sum
 from ..ops.masks import phase_mask
 from ..ops.stencil import make_cell_problem_system
+from ..parallel.mesh import resolve_mesh, shard_volume
 from ..solve.refine import solve_system
 from ..utils.common import parse_direction
 
@@ -53,12 +55,26 @@ def effective_diffusivity(
     dtype=jnp.float64,
     return_fields: bool = False,
     verbose: int = 0,
+    mesh="auto",
 ) -> EffectiveDiffusivityResult:
-    phase_j = jnp.asarray(np.asarray(phase))
-    active = phase_mask(phase_j, phase_id)
-    n_active = int(jnp.sum(active))
+    """``mesh``: None | Mesh | "auto" — domain decomposition along X (see
+    ``props.tortuosity``).  The periodic cell problem cannot be padded (a
+    padding slab would change the wrap coupling), so sharding requires the
+    X extent to divide the mesh; otherwise it falls back to single-device."""
+    active_np = np.asarray(phase) == phase_id
+    n_active = int(active_np.sum())
     n_total = int(np.prod(phase.shape))
     vf = n_active / n_total
+
+    mesh = resolve_mesh(mesh, phase.shape)
+    if mesh is not None and phase.shape[0] % mesh.devices.size != 0:
+        mesh = None  # periodic domain: no padding possible
+    if mesh is not None:
+        active = shard_volume(jnp.asarray(active_np), mesh)
+        if verbose > 0:
+            print(f"  Mesh: {mesh.devices.size} devices (X sharding)")
+    else:
+        active = jnp.asarray(active_np)
 
     if n_active == 0:
         # zero-active shortcut: chi = 0, converged
@@ -74,8 +90,14 @@ def effective_diffusivity(
     storage = dtype if inner_dtype is None else inner_dtype
     chis, iters, rels, convs = [], [], [], []
     for k in range(3):
-        system = make_cell_problem_system(active, k, dx, dtype=storage)
-        x0 = jnp.zeros(phase.shape, storage)  # xinit = 0 (EffDiffFillMtx.F90:126)
+        # jitted so GSPMD propagates the X sharding of ``active`` into the
+        # system fields and the zero initial iterate
+        system, x0 = jax.jit(
+            lambda a, k=k: (
+                make_cell_problem_system(a, k, dx, dtype=storage),
+                jnp.zeros(a.shape, storage),  # xinit = 0 (EffDiffFillMtx.F90:126)
+            )
+        )(active)
         chi_k, info = solve_system(
             system, x0, eps=eps, maxiter=maxiter, method=method, precond=precond,
             inner_dtype=inner_dtype, outer_dtype=dtype, precond_opts=precond_opts,

@@ -19,6 +19,7 @@ from __future__ import annotations
 import dataclasses
 import math
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -27,6 +28,7 @@ from ..ops.floodfill import percolation_mask
 from ..ops.flux import boundary_fluxes
 from ..ops.masks import linear_ramp
 from ..ops.stencil import make_tortuosity_system
+from ..parallel.mesh import resolve_mesh, shard_volume
 from ..solve.refine import solve_system
 from ..utils.common import parse_direction
 from ..utils.profiling import phase_timer
@@ -70,7 +72,14 @@ def tortuosity(
     dtype=jnp.float64,
     return_fields: bool = False,
     verbose: int = 0,
+    mesh="auto",
 ) -> TortuosityResult:
+    """``mesh``: None (single device), a ``jax.sharding.Mesh``, or "auto"
+    (shard large volumes along X over all local devices).  The sharded path
+    is the TPU-native counterpart of the reference's MPI box decomposition
+    (``Diffusion.cpp:266-268`` + ``TortuosityHypre.cpp:584-585``): the solver
+    state lives partitioned in HBM and GSPMD inserts the ICI halo exchanges
+    and reductions."""
     direction = parse_direction(direction)
     shape = phase.shape
 
@@ -92,21 +101,52 @@ def tortuosity(
         # zero percolation: NaN, matching TortuosityHypre.cpp:170-178,764-777
         return nanres
 
-    active_j = jnp.asarray(np.asarray(active))
+    # domain decomposition: pad X with inactive cells to mesh divisibility
+    # (identity rows, never referenced — exact), shard every solver field
+    # along X.  The percolation mask stays a host computation.
+    mesh = resolve_mesh(mesh, shape)
+    active_np = np.asarray(active)
+    hi_plane = None
+    if mesh is not None:
+        n_dev = mesh.devices.size
+        pad = (-shape[0]) % n_dev
+        if pad:
+            active_np = np.pad(active_np, ((0, pad), (0, 0), (0, 0)))
+            if direction == 0:
+                hi_plane = shape[0] - 1  # outlet stays at the original face
+        active_j = shard_volume(jnp.asarray(active_np), mesh)
+        if verbose > 0:
+            print(f"  Mesh: {n_dev} devices, X {shape[0]}->"
+                  f"{active_np.shape[0]} (pad {pad})")
+    else:
+        active_j = jnp.asarray(active_np)
+    solve_shape = active_np.shape
+
     # store the system in the Krylov dtype (coefficients are exact there);
     # the refinement driver upcasts to ``dtype`` on the fly — see refine.py
     storage = dtype if inner_dtype is None else inner_dtype
     with phase_timer("tortuosity/system_setup"):
-        system = make_tortuosity_system(active_j, direction, vlo, vhi, dx,
-                                        dtype=storage)
-        ramp = linear_ramp(shape, direction, vlo, vhi, dtype=storage)
-        x0_free = jnp.where(system.free, ramp, jnp.zeros((), storage))
+        def _build(a):
+            # jitted so GSPMD propagates the X sharding of ``a`` into every
+            # derived solver field (diag, free, x_forced, x0)
+            sys_ = make_tortuosity_system(a, direction, vlo, vhi, dx,
+                                          dtype=storage, hi_plane=hi_plane)
+            ramp = linear_ramp(solve_shape, direction, vlo, vhi, dtype=storage)
+            x0 = jnp.where(sys_.free, ramp, jnp.zeros((), storage))
+            return sys_, x0
+
+        system, x0_free = jax.jit(_build)(active_j)
 
     with phase_timer("tortuosity/solve"):
         x_full, info = solve_system(
             system, x0_free, eps=eps, maxiter=maxiter, method=method, precond=precond,
             inner_dtype=inner_dtype, outer_dtype=dtype, precond_opts=precond_opts,
         )
+    if solve_shape != shape:
+        # crop the padding back off; all downstream quantities (fluxes,
+        # geometry, VF) are defined on the original domain
+        x_full = x_full[: shape[0]]
+        active_j = active_j[: shape[0]]
     iterations = int(info.iterations)
     rel_res = float(info.rel_res)
     converged = bool(info.converged)

@@ -88,6 +88,46 @@ def test_shard_volume_divisibility_check():
         shard_volume(jnp.zeros((30, 4, 4)), mesh)  # 30 % 8 != 0
 
 
+def test_tortuosity_driver_sharded_matches_single(rng):
+    """The PRODUCTION driver with an explicit mesh must reproduce the
+    single-device result exactly (same tau to the solver tolerance),
+    including the X-padding path: X=36 is not divisible by 8, so the driver
+    pads to 40 with inactive cells and keeps the outlet Dirichlet plane at
+    x=35 (hi_plane).  Reference counterpart: rank-count-independent results
+    (Diffusion.cpp:174, TortuosityHypre.cpp:584-585)."""
+    from openimpala_tpu.props.tortuosity import tortuosity
+
+    phase = (rng.random((36, 16, 16)) < 0.75).astype(np.int32)
+    phase[:, 8, 8] = 1  # guarantee percolation along X
+
+    r_single = tortuosity(phase, 1, 0, eps=1e-10, mesh=None,
+                          percolation_method="host")
+    mesh = make_mesh(n_devices=8)
+    r_sharded = tortuosity(phase, 1, 0, eps=1e-10, mesh=mesh,
+                           percolation_method="host")
+
+    assert r_sharded.converged and r_sharded.flux_conserved
+    assert abs(r_sharded.value - r_single.value) < 1e-7
+    assert abs(r_sharded.deff - r_single.deff) < 1e-9
+    assert r_sharded.active_vf == r_single.active_vf
+
+
+def test_deff_driver_sharded_matches_single(rng):
+    """effective_diffusivity with an explicit mesh (X divisible) matches the
+    single-device tensor."""
+    from openimpala_tpu.props.effective_diffusivity import effective_diffusivity
+
+    phase = (rng.random((32, 12, 12)) < 0.7).astype(np.int32)
+
+    r_single = effective_diffusivity(phase, 1, eps=1e-9, mesh=None)
+    mesh = make_mesh(n_devices=8)
+    r_sharded = effective_diffusivity(phase, 1, eps=1e-9, mesh=mesh)
+
+    assert r_sharded.converged
+    np.testing.assert_allclose(r_sharded.deff, r_single.deff,
+                               rtol=1e-7, atol=1e-9)
+
+
 def test_sharded_galerkin_mg_matches_single_device(rng):
     """The Galerkin V-cycle under GSPMD sharding (volume sharded along X
     over the 8-device mesh) must produce the same preconditioned residual
