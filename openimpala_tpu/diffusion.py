@@ -33,16 +33,40 @@ from .props.volume_fraction import volume_fraction
 from .utils.common import DIRECTIONS
 
 
-def load_phase(cfg: DiffusionConfig) -> np.ndarray:
+def _reader(cfg: DiffusionConfig):
     path = os.path.join(cfg.data_path, cfg.filename)
     raw_dims = None
     if cfg.raw_width and cfg.raw_height and cfg.raw_depth:
         raw_dims = (cfg.raw_width, cfg.raw_height, cfg.raw_depth)
-    reader = read_any(path, hdf5_dataset=cfg.hdf5_dataset, raw_dims=raw_dims,
-                      raw_dtype=cfg.raw_datatype)
+    return read_any(path, hdf5_dataset=cfg.hdf5_dataset, raw_dims=raw_dims,
+                    raw_dtype=cfg.raw_datatype)
+
+
+def load_phase(cfg: DiffusionConfig) -> np.ndarray:
     # like the app driver: threshold maps > thr -> 1, else 0; phase_id then
     # selects which binary value to analyse (Diffusion.cpp:255-261)
-    return reader.threshold(cfg.threshold_val, 1, 0)
+    return _reader(cfg).threshold(cfg.threshold_val, 1, 0)
+
+
+def load_phase_sharded(cfg: DiffusionConfig):
+    """Distributed ingest for the homogenization path: per-device reader
+    slabs placed directly into sharded device memory (io/ingest.py).
+    Returns a sharded jax.Array, or None when ingest does not apply (single
+    device, or X not mesh-divisible — the periodic cell problem cannot be
+    padded)."""
+    import jax
+
+    from .io.ingest import threshold_sharded
+    from .parallel.mesh import make_mesh
+
+    if len(jax.devices()) <= 1:
+        return None
+    reader = _reader(cfg)
+    mesh = make_mesh()
+    if reader.shape[0] % mesh.devices.size != 0:
+        return None
+    arr, _ = threshold_sharded(reader, cfg.threshold_val, mesh)
+    return arr
 
 
 def parse_directions(s: str):
@@ -69,7 +93,17 @@ def main(argv=None) -> int:
     if cfg.verbose >= 1:
         print(f"Reading full domain data from: "
               f"{os.path.join(cfg.data_path, cfg.filename)}")
-    phase = load_phase(cfg)
+    # homogenization without a REV study never needs the host copy: ingest
+    # straight into sharded device memory when a multi-device mesh exists
+    phase = None
+    if cfg.calculation_method == "homogenization" and not cfg.rev_do_study:
+        phase = load_phase_sharded(cfg)
+        if phase is not None and cfg.verbose >= 1:
+            import jax
+
+            print(f"  Distributed ingest over {len(jax.devices())} devices")
+    if phase is None:
+        phase = load_phase(cfg)
     if cfg.verbose >= 1:
         print(f"  Domain: {phase.shape[0]} x {phase.shape[1]} x {phase.shape[2]}")
 

@@ -19,6 +19,7 @@ from .tiff import TiffReader
 from .hdf5 import HDF5Reader
 from .dat import DatReader
 from .raw import RawReader, RawDataType
+from .ingest import threshold_sharded
 from .writers import (
     write_results_txt,
     write_volume_hdf5_xdmf,
@@ -27,6 +28,7 @@ from .writers import (
 from .cathode import CathodeParams, write_dandeliion_parameters, write_pybamm_parameters
 
 __all__ = [
+    "threshold_sharded",
     "TiffReader",
     "HDF5Reader",
     "DatReader",

@@ -12,6 +12,7 @@ import numpy as np
 
 
 class DatReader:
+    slab_axis = None  # io/ingest.py slab protocol
     DATA_DTYPE = np.dtype("<u2")  # fixed uint16 LE (DatReader.H:35)
 
     def __init__(self, filename: str):

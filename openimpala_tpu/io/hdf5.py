@@ -17,6 +17,7 @@ import numpy as np
 
 
 class HDF5Reader:
+    slab_axis = 0  # io/ingest.py slab protocol
     def __init__(self, filename: str, dataset: str = "image"):
         import h5py
 

@@ -40,6 +40,7 @@ class RawDataType(enum.Enum):
 
 
 class RawReader:
+    slab_axis = 0  # io/ingest.py slab protocol
     def __init__(self, filename: str, width: int, height: int, depth: int,
                  datatype):
         self._filename = filename

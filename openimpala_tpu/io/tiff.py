@@ -29,6 +29,8 @@ import numpy as np
 
 
 class TiffReader:
+    slab_axis = 2  # chunked reads stream Z pages (io/ingest.py protocol)
+
     def __init__(self, filename: str):
         self._files = None  # list of files for sequence mode
         self._filename = filename

@@ -116,6 +116,59 @@ def apply_restricted(x, diag, free, w, periodic):
     return apply_restricted_xla(x, diag, free, w, periodic)
 
 
+def apply_with_dot(x, diag, free, w, periodic):
+    """``(A x, <x, A x>)`` with the reduction fused into the stencil pass.
+
+    On TPU the v3 kernel accumulates the dot in-kernel (saves re-reading
+    x and Ax from HBM for CG's p.Ap — 8 of the 21 B/cell of that step).
+    """
+    if _PALLAS_MODE != "0":
+        from . import stencil_pallas
+
+        if stencil_pallas.supports_v3(x.shape, x.dtype, has_r=False):
+            out, dot = stencil_pallas.fused_stencil_pallas(
+                "matvec", x, None, jnp.asarray(diag), free, w, periodic,
+                with_dot=True,
+            )
+            return out, dot.astype(x.dtype)
+    ax = apply_restricted(x, diag, free, w, periodic)
+    return ax, jnp.sum(x * ax)
+
+
+def smooth_sweep(x, r, diag, free, w, periodic, omega: float):
+    """One damped-Jacobi sweep ``x + (omega/diag)*(r - A x)`` (free & diag>0;
+    else x), fused into a single rolling-window pass on TPU."""
+    if _PALLAS_MODE != "0":
+        from . import stencil_pallas
+
+        if stencil_pallas.supports_v3(x.shape, x.dtype, has_r=True):
+            return stencil_pallas.fused_stencil_pallas(
+                "sweep", x, r, jnp.asarray(diag), free, w, periodic,
+                omega=omega,
+            )
+    diag_b = jnp.broadcast_to(jnp.asarray(diag), x.shape).astype(x.dtype)
+    inv_d = jnp.where(
+        free & (diag_b > 0),
+        jnp.asarray(omega, x.dtype) / jnp.where(diag_b > 0, diag_b, 1.0),
+        jnp.zeros((), x.dtype),
+    )
+    return x + inv_d * (r - apply_restricted_xla(x, diag, free, w, periodic))
+
+
+def residual_restricted(x, r, diag, free, w, periodic):
+    """``free ? r - A x : 0`` fused into one pass (the V-cycle restriction
+    input)."""
+    if _PALLAS_MODE != "0":
+        from . import stencil_pallas
+
+        if stencil_pallas.supports_v3(x.shape, x.dtype, has_r=True):
+            return stencil_pallas.fused_stencil_pallas(
+                "resid", x, r, jnp.asarray(diag), free, w, periodic
+            )
+    return jnp.where(free, r - apply_restricted_xla(x, diag, free, w, periodic),
+                     jnp.zeros((), x.dtype))
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class StencilSystem:
@@ -144,6 +197,11 @@ class StencilSystem:
 
     def apply(self, x):
         return apply_restricted(x, self.diag, self.free, self.w, self.periodic)
+
+    def apply_with_dot(self, x):
+        """(A x, <x, A x>) — the CG matvec with its curvature reduction
+        fused into the same kernel pass on TPU."""
+        return apply_with_dot(x, self.diag, self.free, self.w, self.periodic)
 
     def initial_residual(self, x0_free):
         """r0 for the Krylov solve starting at z = x0_free (on free set)."""

@@ -311,3 +311,216 @@ def stencil_matvec_pallas_v2(x, diag, free, w, periodic, interpret=False):
         ),
         interpret=interpret,
     )(xp, diag_full, free8)
+
+
+# ---------------------------------------------------------------------------
+# v3: one rolling-window engine, three fused ops.  The MG-PCG iteration's HBM
+# traffic is dominated not by the CG matvec but by the V-cycle's fine-level
+# smoothing + residual (BASELINE.md), which round 1 left on the ~120 GB/s XLA
+# path.  This engine streams the volume once per op with manual
+# double-buffered DMA (same scheme as v2) and fuses, per mode:
+#
+#   matvec : out = free ? diag*x - sum_f w_f x_nbr : 0      [+ optional <x,Ax>
+#            accumulated in-kernel -> fuses CG's p.Ap reduction into the pass]
+#   resid  : out = free ? r - (diag*x - sum w x_nbr) : 0    [V-cycle residual]
+#   sweep  : out = x + omega/diag * (r - (diag*x - sum w x_nbr)) on
+#            free & diag>0, else x                          [damped Jacobi]
+#
+# Streamed inputs: x (4-slot window ring), and for resid/sweep an r ring,
+# plus diag/free rings; outputs double-buffered.  Compulsory traffic:
+# 13 B/cell (matvec) / 17 B/cell (resid, sweep).
+# ---------------------------------------------------------------------------
+
+
+def _yz_neighbor_sum(xm, w, periodic_yz):
+    return (w[1] * (_shift_plane(xm, 0, -1, periodic_yz[0])
+                    + _shift_plane(xm, 0, 1, periodic_yz[0]))
+            + w[2] * (_shift_plane(xm, 1, -1, periodic_yz[1])
+                      + _shift_plane(xm, 1, 1, periodic_yz[1])))
+
+
+def _fused_kernel_v3(*refs, w, periodic_yz, n_planes, xr, dr, mode, omega,
+                     with_dot):
+    if mode == "matvec":
+        (xp_ref, diag_ref, free_ref), out_refs = refs[:3], refs[3:]
+        r_ref = None
+    else:
+        (xp_ref, r_ref, diag_ref, free_ref), out_refs = refs[:4], refs[4:]
+    out_ref = out_refs[0]
+    acc_ref = out_refs[1] if with_dot else None
+
+    def body(xbuf, rbuf, dbuf, fbuf, obuf, xsem, rsem, dsem, fsem, osem):
+        def i32(v):
+            return np.int32(v) if isinstance(v, int) else v
+
+        def fetch(src, dst, sem, k, slot):
+            return pltpu.make_async_copy(src.at[i32(k)], dst.at[i32(slot)],
+                                         sem.at[i32(slot)])
+
+        def put_out(k, slot):
+            return pltpu.make_async_copy(obuf.at[i32(slot)], out_ref.at[i32(k)],
+                                         osem.at[i32(slot)])
+
+        has_r = r_ref is not None
+        for kk in range(min(xr - 1, n_planes + 2)):
+            fetch(xp_ref, xbuf, xsem, kk, kk).start()
+        for kk in range(min(dr - 1, n_planes)):
+            fetch(diag_ref, dbuf, dsem, kk, kk).start()
+            fetch(free_ref, fbuf, fsem, kk, kk).start()
+            if has_r:
+                fetch(r_ref, rbuf, rsem, kk, kk).start()
+        fetch(xp_ref, xbuf, xsem, 0, 0).wait()
+        fetch(xp_ref, xbuf, xsem, 1, 1).wait()
+
+        lax = jax.lax
+        c = np.int32
+
+        def loop(k, acc):
+            kp1 = lax.add(k, c(1))
+            kp2 = lax.add(k, c(2))
+            kpxr = lax.add(k, c(xr - 1))
+            kpdr = lax.add(k, c(dr - 1))
+            s_kx = lax.rem(k, c(xr))
+            s_k1_x = lax.rem(kp1, c(xr))
+            s_k2_x = lax.rem(kp2, c(xr))
+            s_kxr = lax.rem(kpxr, c(xr))
+            s_kd = lax.rem(k, c(dr))
+            s_kdr = lax.rem(kpdr, c(dr))
+
+            @pl.when(lax.lt(kpxr, c(n_planes + 2)))
+            def _():
+                fetch(xp_ref, xbuf, xsem, kpxr, s_kxr).start()
+
+            @pl.when(lax.lt(kpdr, c(n_planes)))
+            def _():
+                fetch(diag_ref, dbuf, dsem, kpdr, s_kdr).start()
+                fetch(free_ref, fbuf, fsem, kpdr, s_kdr).start()
+                if has_r:
+                    fetch(r_ref, rbuf, rsem, kpdr, s_kdr).start()
+
+            fetch(xp_ref, xbuf, xsem, kp2, s_k2_x).wait()
+            fetch(diag_ref, dbuf, dsem, k, s_kd).wait()
+            fetch(free_ref, fbuf, fsem, k, s_kd).wait()
+            if has_r:
+                fetch(r_ref, rbuf, rsem, k, s_kd).wait()
+
+            @pl.when(lax.ge(k, c(dr)))
+            def _():
+                put_out(lax.sub(k, c(dr)), s_kd).wait()
+
+            xlo = xbuf[s_kx]
+            xm = xbuf[s_k1_x]
+            xhi = xbuf[s_k2_x]
+            ax = dbuf[s_kd] * xm - (w[0] * (xlo + xhi)
+                                    + _yz_neighbor_sum(xm, w, periodic_yz))
+            free = fbuf[s_kd] != 0
+            zero = jnp.zeros((), xm.dtype)
+            if mode == "matvec":
+                plane = jnp.where(free, ax, zero)
+            elif mode == "resid":
+                plane = jnp.where(free, rbuf[s_kd] - ax, zero)
+            else:  # sweep
+                d = dbuf[s_kd]
+                inv_d = jnp.where(free & (d > 0),
+                                  omega / jnp.where(d > 0, d, 1.0), zero)
+                plane = xm + inv_d * (rbuf[s_kd] - ax)
+            obuf[s_kd] = plane
+            put_out(k, s_kd).start()
+            if with_dot:
+                acc = acc + jnp.sum(plane * xm, dtype=jnp.float32)
+            return acc
+
+        acc = jax.lax.fori_loop(jnp.int32(0), jnp.int32(n_planes), loop,
+                                jnp.zeros((), jnp.float32), unroll=False)
+        if with_dot:
+            acc_ref[0, 0] = acc
+        for back in range(1, min(dr, n_planes) + 1):
+            kk = n_planes - back
+            put_out(kk, kk % dr).wait()
+
+    Y, Z = xp_ref.shape[1], xp_ref.shape[2]
+    dtype = xp_ref.dtype
+    r_slots = dr if r_ref is not None else 1  # dummy min ring when unused
+    pl.run_scoped(
+        body,
+        xbuf=pltpu.VMEM((xr, Y, Z), dtype),
+        rbuf=pltpu.VMEM((r_slots, Y, Z), dtype),
+        dbuf=pltpu.VMEM((dr, Y, Z), dtype),
+        fbuf=pltpu.VMEM((dr, Y, Z), jnp.int8),
+        obuf=pltpu.VMEM((dr, Y, Z), dtype),
+        xsem=pltpu.SemaphoreType.DMA((xr,)),
+        rsem=pltpu.SemaphoreType.DMA((r_slots,)),
+        dsem=pltpu.SemaphoreType.DMA((dr,)),
+        fsem=pltpu.SemaphoreType.DMA((dr,)),
+        osem=pltpu.SemaphoreType.DMA((dr,)),
+    )
+
+
+def _rings_for_v3(plane_bytes: int, has_r: bool):
+    """Ring sizes fitting the v3 VMEM budget (one extra ring when r streams)."""
+    for xr, dr in ((8, 4), (6, 3), (5, 2), (4, 2)):
+        n_f32_rings = 2 + (1 if has_r else 0)  # d + out (+ r), each dr slots
+        vmem = (xr + n_f32_rings * dr) * plane_bytes + dr * (plane_bytes // 4)
+        if vmem < 11 * 1024 * 1024:
+            return xr, dr
+    return None
+
+
+def supports_v3(shape, dtype, has_r: bool) -> bool:
+    if jax.default_backend() != "tpu" or jnp.dtype(dtype) != jnp.float32:
+        return False
+    X, Y, Z = shape
+    if Y % 8 != 0 or Z % 128 != 0:
+        return False
+    rings = _rings_for_v3(Y * Z * 4, has_r)
+    return rings is not None and X >= rings[0]
+
+
+@functools.partial(jax.jit, static_argnames=("mode", "w", "periodic", "omega",
+                                             "with_dot", "interpret"))
+def fused_stencil_pallas(mode, x, r, diag, free, w, periodic,
+                         omega: float = 0.9, with_dot: bool = False,
+                         interpret: bool = False):
+    """Run the v3 engine: mode in {"matvec", "resid", "sweep"}.
+
+    ``x`` is the windowed field (p for matvec, the iterate for sweep/resid);
+    ``r`` the streamed right-hand side (ignored for matvec, pass None).
+    Returns out, or (out, dot) when ``with_dot`` (matvec only).
+    """
+    X, Y, Z = x.shape
+    dtype = x.dtype
+    xp = jnp.pad(x, ((1, 1), (0, 0), (0, 0)),
+                 mode="wrap" if periodic[0] else "constant")
+    diag_full = jnp.broadcast_to(jnp.asarray(diag, dtype), x.shape)
+    free8 = free.astype(jnp.int8)
+    has_r = mode != "matvec"
+    xr, dr = _rings_for_v3(Y * Z * 4, has_r)
+    kernel = functools.partial(
+        _fused_kernel_v3, w=tuple(float(v) for v in w),
+        periodic_yz=(periodic[1], periodic[2]), n_planes=X, xr=xr, dr=dr,
+        mode=mode, omega=float(omega), with_dot=with_dot,
+    )
+    n_in = 3 + (1 if has_r else 0)
+    out_shape = [jax.ShapeDtypeStruct((X, Y, Z), dtype)]
+    out_specs = [pl.BlockSpec(memory_space=pl.ANY)]
+    if with_dot:
+        out_shape.append(jax.ShapeDtypeStruct((1, 1), jnp.float32))
+        out_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+    bytes_cell = 13 + (4 if has_r else 0)
+    inputs = (xp, r, diag_full, free8) if has_r else (xp, diag_full, free8)
+    out = pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_in,
+        out_shape=out_shape,
+        out_specs=out_specs,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        cost_estimate=pl.CostEstimate(
+            flops=(10 + (2 if has_r else 0)) * X * Y * Z,
+            bytes_accessed=bytes_cell * X * Y * Z,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*inputs)
+    if with_dot:
+        return out[0], out[1][0, 0]
+    return out[0]

@@ -60,21 +60,30 @@ def effective_diffusivity(
     """``mesh``: None | Mesh | "auto" — domain decomposition along X (see
     ``props.tortuosity``).  The periodic cell problem cannot be padded (a
     padding slab would change the wrap coupling), so sharding requires the
-    X extent to divide the mesh; otherwise it falls back to single-device."""
-    active_np = np.asarray(phase) == phase_id
-    n_active = int(active_np.sum())
-    n_total = int(np.prod(phase.shape))
-    vf = n_active / n_total
+    X extent to divide the mesh; otherwise it falls back to single-device.
 
-    mesh = resolve_mesh(mesh, phase.shape)
-    if mesh is not None and phase.shape[0] % mesh.devices.size != 0:
-        mesh = None  # periodic domain: no padding possible
-    if mesh is not None:
-        active = shard_volume(jnp.asarray(active_np), mesh)
-        if verbose > 0:
-            print(f"  Mesh: {mesh.devices.size} devices (X sharding)")
+    ``phase`` may be a host array or an already-sharded device array (e.g.
+    from ``io.threshold_sharded``) — the latter is used as-is, never pulled
+    to the host (the distributed-ingest path, SURVEY.md §7.5)."""
+    n_total = int(np.prod(phase.shape))
+    pre_sharded = (isinstance(phase, jax.Array)
+                   and len(getattr(phase.sharding, "device_set", ())) > 1)
+    if pre_sharded:
+        active = phase == phase_id
+        n_active = int(jnp.sum(active))
     else:
-        active = jnp.asarray(active_np)
+        active_np = np.asarray(phase) == phase_id
+        n_active = int(active_np.sum())
+        mesh = resolve_mesh(mesh, phase.shape)
+        if mesh is not None and phase.shape[0] % mesh.devices.size != 0:
+            mesh = None  # periodic domain: no padding possible
+        if mesh is not None:
+            active = shard_volume(jnp.asarray(active_np), mesh)
+            if verbose > 0:
+                print(f"  Mesh: {mesh.devices.size} devices (X sharding)")
+        else:
+            active = jnp.asarray(active_np)
+    vf = n_active / n_total
 
     if n_active == 0:
         # zero-active shortcut: chi = 0, converged

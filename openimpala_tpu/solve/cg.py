@@ -98,8 +98,7 @@ def _cg_chunk(system, precond, state, denom, eps, chunk: int):
 
     def body(_, st):
         z, r, p, rz, it, rel, done = st
-        ap = system.apply(p)
-        pap = _dot(p, ap)
+        ap, pap = system.apply_with_dot(p)
         ok = pap > 0
         alpha = jnp.where(ok, rz / jnp.where(ok, pap, 1.0), 0.0)
         z2 = z + alpha * p
@@ -212,9 +211,12 @@ def cg(system, r0, denom, eps, maxiter: int, precond=None,
         precond = IdentityPreconditioner()
     denom = jnp.where(denom > 0, denom, jnp.sqrt(_dot(r0, r0)))
     denom = jnp.where(denom > 0, denom, 1.0)
-    big_tpu = (r0.size >= HOST_LOOP_THRESHOLD_CELLS
-               and jax.default_backend() == "tpu")
-    if big_tpu and isinstance(precond, GalerkinMGPreconditioner):
+    on_tpu = jax.default_backend() == "tpu"
+    big_tpu = r0.size >= HOST_LOOP_THRESHOLD_CELLS and on_tpu
+    if on_tpu and isinstance(precond, GalerkinMGPreconditioner):
+        # always chunk MG-preconditioned CG on TPU: each dispatch stays short
+        # (the remote runtime dies on very long fused MG programs) and the
+        # fine-level Pallas kernels are never nested inside a while_loop
         return _cg_chunked_loop(system, r0, denom, eps, int(maxiter), precond)
     if host_loop is None:
         host_loop = isinstance(precond, MultigridPreconditioner) and big_tpu

@@ -7,10 +7,22 @@ better method, so FGMRES exists for (a) the config surface
 stores the preconditioned vectors Z, hence "flexible"), and (c) any future
 non-symmetric operator.
 
+Two drivers around one jitted Arnoldi restart cycle:
+
+* ``_fgmres_loop`` — fully fused ``lax.while_loop`` over cycles (CPU / small
+  volumes): one XLA program.
+* ``_fgmres_host_loop`` — one dispatch per restart cycle with host-side
+  convergence checks, the FGMRES counterpart of CG's chunked driver
+  (solve/cg.py): the remote TPU runtime dies on very long fused
+  MG-preconditioned programs, and a single cycle (``restart`` V-cycles) is
+  comfortably inside the safe envelope.  This is what lets
+  ``solver_type = GMRES`` at 512^3 use the Galerkin multigrid preconditioner
+  instead of round 1's silent Jacobi fallback.
+
 Memory note: a restart cycle holds ``restart+1`` basis fields plus
-``restart`` Z fields — keep ``restart`` modest for large volumes (the
-reference's effective Krylov depth with an SMG/PFMG preconditioner is tens
-of iterations anyway).
+``restart`` Z fields; ``_auto_restart`` caps the depth so the Krylov space
+fits next to the solver state in HBM (the effective Krylov depth with an
+MG preconditioner is tens of iterations anyway).
 """
 
 from __future__ import annotations
@@ -23,77 +35,85 @@ import jax.numpy as jnp
 from .cg import SolveResult, _dot
 
 
+@partial(jax.jit, static_argnames=("restart",))
+def _arnoldi_cycle(system, precond, z, r, r0, restart: int):
+    """One FGMRES(m) restart cycle: returns (z_new, r_new)."""
+    dtype = r.dtype
+    shape = r.shape
+    m = restart
+    M = precond
+    tiny = jnp.asarray(1e-30, dtype)
+
+    beta = jnp.sqrt(_dot(r, r))
+    safe_beta = jnp.where(beta > 0, beta, 1.0)
+    V = jnp.zeros((m + 1,) + shape, dtype).at[0].set(r / safe_beta)
+    Z = jnp.zeros((m,) + shape, dtype)
+    H = jnp.zeros((m + 1, m), dtype)
+    cs = jnp.zeros((m,), dtype)
+    sn = jnp.zeros((m,), dtype)
+    g = jnp.zeros((m + 1,), dtype).at[0].set(beta)
+
+    def body(j, carry):
+        V, Z, H, cs, sn, g = carry
+        zj = M(V[j])
+        wv = system.apply(zj)
+
+        # modified Gram-Schmidt
+        def mgs(i, wh):
+            w, h = wh
+            hij = _dot(w, V[i])
+            mask = i <= j
+            hij = jnp.where(mask, hij, 0.0)
+            w = w - hij * V[i]
+            return w, h.at[i].set(hij)
+
+        w, hcol = jax.lax.fori_loop(0, m + 1, mgs,
+                                    (wv, jnp.zeros((m + 1,), dtype)))
+        hj1 = jnp.sqrt(_dot(w, w))
+        hcol = hcol.at[j + 1].set(hj1)
+        V = V.at[j + 1].set(w / jnp.where(hj1 > tiny, hj1, 1.0))
+        Z = Z.at[j].set(zj)
+
+        # apply previous Givens rotations to the new column
+        def rot(i, col):
+            mask = i < j
+            t = cs[i] * col[i] + sn[i] * col[i + 1]
+            b = -sn[i] * col[i] + cs[i] * col[i + 1]
+            col = col.at[i].set(jnp.where(mask, t, col[i]))
+            col = col.at[i + 1].set(jnp.where(mask, b, col[i + 1]))
+            return col
+
+        hcol = jax.lax.fori_loop(0, m, rot, hcol)
+        # new rotation annihilating hcol[j+1]
+        rho = jnp.sqrt(hcol[j] ** 2 + hcol[j + 1] ** 2)
+        rho_safe = jnp.where(rho > tiny, rho, 1.0)
+        c, s = hcol[j] / rho_safe, hcol[j + 1] / rho_safe
+        cs = cs.at[j].set(c)
+        sn = sn.at[j].set(s)
+        hcol = hcol.at[j].set(rho).at[j + 1].set(0.0)
+        gj = g[j]
+        g = g.at[j].set(c * gj).at[j + 1].set(-s * gj)
+        H = H.at[:, j].set(hcol)
+        return V, Z, H, cs, sn, g
+
+    V, Z, H, cs, sn, g = jax.lax.fori_loop(0, m, body, (V, Z, H, cs, sn, g))
+    # back-substitution: H[:m,:m] (upper triangular) y = g[:m]
+    Hm = H[:m, :m] + jnp.where(
+        jnp.abs(jnp.diagonal(H[:m, :m])) > tiny, 0.0, tiny
+    ) * jnp.eye(m, dtype=dtype)
+    y = jax.scipy.linalg.solve_triangular(Hm, g[:m], lower=False)
+    z_new = z + jnp.tensordot(y, Z, axes=1)
+    r_new = r0 - system.apply(z_new)
+    return z_new, r_new
+
+
 @partial(jax.jit, static_argnames=("maxiter", "restart"))
 def _fgmres_loop(system, r0, denom, eps, maxiter: int, precond, restart: int):
     # ``precond`` is a pytree dataclass — see solve/preconditioners.py
     dtype = r0.dtype
-    shape = r0.shape
     m = restart
     eps = jnp.asarray(eps, dtype)
     denom = jnp.asarray(denom, dtype)
-    M = precond
-    tiny = jnp.asarray(1e-30, dtype)
-
-    def arnoldi_cycle(z, r):
-        beta = jnp.sqrt(_dot(r, r))
-        safe_beta = jnp.where(beta > 0, beta, 1.0)
-        V = jnp.zeros((m + 1,) + shape, dtype).at[0].set(r / safe_beta)
-        Z = jnp.zeros((m,) + shape, dtype)
-        H = jnp.zeros((m + 1, m), dtype)
-        cs = jnp.zeros((m,), dtype)
-        sn = jnp.zeros((m,), dtype)
-        g = jnp.zeros((m + 1,), dtype).at[0].set(beta)
-
-        def body(j, carry):
-            V, Z, H, cs, sn, g = carry
-            zj = M(V[j])
-            wv = system.apply(zj)
-            # modified Gram-Schmidt
-            def mgs(i, wh):
-                w, h = wh
-                hij = _dot(w, V[i])
-                mask = i <= j
-                hij = jnp.where(mask, hij, 0.0)
-                w = w - hij * V[i]
-                return w, h.at[i].set(hij)
-
-            w, hcol = jax.lax.fori_loop(0, m + 1, mgs, (wv, jnp.zeros((m + 1,), dtype)))
-            hj1 = jnp.sqrt(_dot(w, w))
-            hcol = hcol.at[j + 1].set(hj1)
-            V = V.at[j + 1].set(w / jnp.where(hj1 > tiny, hj1, 1.0))
-            Z = Z.at[j].set(zj)
-
-            # apply previous Givens rotations to the new column
-            def rot(i, col):
-                mask = i < j
-                t = cs[i] * col[i] + sn[i] * col[i + 1]
-                b = -sn[i] * col[i] + cs[i] * col[i + 1]
-                col = col.at[i].set(jnp.where(mask, t, col[i]))
-                col = col.at[i + 1].set(jnp.where(mask, b, col[i + 1]))
-                return col
-
-            hcol = jax.lax.fori_loop(0, m, rot, hcol)
-            # new rotation annihilating hcol[j+1]
-            rho = jnp.sqrt(hcol[j] ** 2 + hcol[j + 1] ** 2)
-            rho_safe = jnp.where(rho > tiny, rho, 1.0)
-            c, s = hcol[j] / rho_safe, hcol[j + 1] / rho_safe
-            cs = cs.at[j].set(c)
-            sn = sn.at[j].set(s)
-            hcol = hcol.at[j].set(rho).at[j + 1].set(0.0)
-            gj = g[j]
-            g = g.at[j].set(c * gj).at[j + 1].set(-s * gj)
-            H = H.at[:, j].set(hcol)
-            return V, Z, H, cs, sn, g
-
-        V, Z, H, cs, sn, g = jax.lax.fori_loop(0, m, body, (V, Z, H, cs, sn, g))
-        # back-substitution: H[:m,:m] (upper triangular) y = g[:m]
-        Hm = H[:m, :m] + jnp.where(
-            jnp.abs(jnp.diagonal(H[:m, :m])) > tiny, 0.0, tiny
-        ) * jnp.eye(m, dtype=dtype)
-        y = jax.scipy.linalg.solve_triangular(Hm, g[:m], lower=False)
-        z_new = z + jnp.tensordot(y, Z, axes=1)
-        r_new = r0 - system.apply(z_new)
-        return z_new, r_new
 
     z0 = jnp.zeros_like(r0)
     rel0 = jnp.sqrt(_dot(r0, r0)) / denom
@@ -105,7 +125,7 @@ def _fgmres_loop(system, r0, denom, eps, maxiter: int, precond, restart: int):
 
     def body(state):
         z, r, it, rel, done = state
-        z, r = arnoldi_cycle(z, r)
+        z, r = _arnoldi_cycle(system, precond, z, r, r0, m)
         rel = jnp.sqrt(_dot(r, r)) / denom
         return z, r, it + 1, rel, rel <= eps
 
@@ -114,7 +134,39 @@ def _fgmres_loop(system, r0, denom, eps, maxiter: int, precond, restart: int):
     return SolveResult(z=z, iterations=it * m, rel_res=rel, converged=rel <= eps)
 
 
-def fgmres(system, r0, denom, eps, maxiter: int, precond=None, restart: int = 20):
+def _fgmres_host_loop(system, r0, denom, eps, maxiter: int, precond,
+                      restart: int):
+    """Restart cycles dispatched one at a time, convergence on the host."""
+    dtype = r0.dtype
+    eps_v, denom_v = float(eps), float(denom)
+    z = jnp.zeros_like(r0)
+    r = r0
+    it = 0
+    rel = float(jnp.sqrt(_dot(r, r))) / denom_v
+    while rel > eps_v and it < maxiter:
+        z, r = _arnoldi_cycle(system, precond, z, r, r0, restart)
+        it += restart
+        rel = float(jnp.sqrt(_dot(r, r))) / denom_v
+        if not (rel == rel):  # NaN breakdown
+            break
+    return SolveResult(
+        z=z, iterations=jnp.asarray(it, jnp.int32),
+        rel_res=jnp.asarray(rel, dtype), converged=jnp.asarray(rel <= eps_v),
+    )
+
+
+def _auto_restart(r0, restart: int) -> int:
+    """Cap the Krylov depth so (2m+1) basis fields fit in HBM next to the
+    solver state (per-device bytes; the X sharding divides the field)."""
+    n_dev = max(1, len(getattr(r0.sharding, "device_set", [None])))
+    field_bytes = r0.size * r0.dtype.itemsize / n_dev
+    budget = 10 * 1024 ** 3  # leave ~6 GB of a v5e for system + workspace
+    m = int((budget / max(field_bytes, 1) - 1) // 2)
+    return max(4, min(int(restart), m))
+
+
+def fgmres(system, r0, denom, eps, maxiter: int, precond=None,
+           restart: int = 20):
     """Solve ``A z = r0`` (free set, z0=0) with restarted flexible GMRES."""
     from .preconditioners import IdentityPreconditioner
 
@@ -122,4 +174,9 @@ def fgmres(system, r0, denom, eps, maxiter: int, precond=None, restart: int = 20
         precond = IdentityPreconditioner()
     denom = jnp.where(denom > 0, denom, jnp.sqrt(_dot(r0, r0)))
     denom = jnp.where(denom > 0, denom, 1.0)
-    return _fgmres_loop(system, r0, denom, eps, int(maxiter), precond, int(restart))
+    restart = _auto_restart(r0, restart)
+    if jax.default_backend() == "tpu" and r0.size >= 192 ** 3:
+        return _fgmres_host_loop(system, r0, denom, eps, int(maxiter),
+                                 precond, restart)
+    return _fgmres_loop(system, r0, denom, eps, int(maxiter), precond,
+                        int(restart))

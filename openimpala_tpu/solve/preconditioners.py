@@ -16,7 +16,13 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from ..ops.stencil import apply_restricted, apply_restricted_xla, weighted_degree
+from ..ops.stencil import (
+    apply_restricted,
+    apply_restricted_xla,
+    residual_restricted,
+    smooth_sweep,
+    weighted_degree,
+)
 
 
 @jax.tree_util.register_dataclass
@@ -89,20 +95,27 @@ class ChebyshevPreconditioner:
         return apply_restricted(v, self.diag, self.free, self.w, self.periodic)
 
     def __call__(self, r):
+        # fori_loop formulation: the unrolled recurrence exploded XLA compile
+        # time (>3.5 min at 96^3 in round 1); the loop body compiles once.
+        # The scalar rho becomes loop-carried state.
         lo = self.hi / self.ratio
         theta = 0.5 * (self.hi + lo)
         delta = 0.5 * (self.hi - lo)
         sigma = theta / delta
-        rho = 1.0 / sigma
-        d = self._minv(r) * (1.0 / theta)
-        z = d
-        res = r
-        for _ in range(1, self.degree):
+        dtype = r.dtype
+        d = self._minv(r) * jnp.asarray(1.0 / theta, dtype)
+        two_sigma = jnp.asarray(2.0 * sigma, dtype)
+        two_over_delta = jnp.asarray(2.0 / delta, dtype)
+
+        def body(_, st):
+            res, d, z, rho = st
             res = res - self._apply_A(d)
-            rho_new = 1.0 / (2.0 * sigma - rho)
-            d = (rho_new * rho) * d + (2.0 * rho_new / delta) * self._minv(res)
-            z = z + d
-            rho = rho_new
+            rho_new = 1.0 / (two_sigma - rho)
+            d = (rho_new * rho) * d + (rho_new * two_over_delta) * self._minv(res)
+            return res, d, z + d, rho_new
+
+        state = (r, d, d, jnp.asarray(1.0 / sigma, dtype))
+        _, _, z, _ = jax.lax.fori_loop(1, self.degree, body, state)
         return z
 
 
@@ -250,10 +263,6 @@ class GalerkinMGPreconditioner:
     omega: float = dataclasses.field(default=0.9, metadata=dict(static=True))
     coarse_sweeps: int = dataclasses.field(default=50, metadata=dict(static=True))
     smoother: str = dataclasses.field(default="jacobi", metadata=dict(static=True))
-    # fine-level smoothing through the Pallas kernel: safe under the chunked
-    # CG driver (short dispatches); the pure-XLA pin is kept for the fused
-    # while_loop path where very long MG dispatches kill the remote runtime
-    fine_pallas: bool = dataclasses.field(default=False, metadata=dict(static=True))
 
     @classmethod
     def from_system(cls, system, max_levels: int = 16, **kw):
@@ -291,45 +300,86 @@ class GalerkinMGPreconditioner:
         D^{-1}A ([hi/6, hi], hi >= Gershgorin bound 2).  A fixed polynomial,
         identical pre/post, so the V-cycle stays a symmetric operator.
         One operator apply per degree — same cost as a Jacobi sweep with
-        markedly better high-frequency damping.
-
-        EXPERIMENTAL: the unrolled recurrence inlined at every level makes
-        the fused while(CG(V-cycle)) HLO explode — XLA took >3.5 min to
-        compile the 96^3 CPU program (vs seconds for the fori_loop Jacobi
-        smoother).  Opt in only where compile time is acceptable."""
+        markedly better high-frequency damping.  fori_loop-formulated (the
+        round-1 unrolled recurrence inlined at every level exploded XLA
+        compile time: >3.5 min at 96^3)."""
         hi = 2.2
         lo = hi / 6.0
         theta = 0.5 * (hi + lo)
         delta = 0.5 * (hi - lo)
         sigma = theta / delta
-        rho = 1.0 / sigma
+        dtype = r.dtype
         inv_d = jnp.where(
             free & (diag > 0),
-            1.0 / jnp.where(diag > 0, diag, jnp.ones((), r.dtype)),
-            jnp.zeros((), r.dtype),
+            1.0 / jnp.where(diag > 0, diag, jnp.ones((), dtype)),
+            jnp.zeros((), dtype),
         )
         res = r - apply_fn(x)
-        d = inv_d * res * (1.0 / theta)
+        d = inv_d * res * jnp.asarray(1.0 / theta, dtype)
         x = x + d
-        for _ in range(degree - 1):
+        two_sigma = jnp.asarray(2.0 * sigma, dtype)
+        two_over_delta = jnp.asarray(2.0 / delta, dtype)
+
+        def body(_, st):
+            res, d, x, rho = st
             res = res - apply_fn(d)
-            rho_new = 1.0 / (2.0 * sigma - rho)
-            d = (rho_new * rho) * d + (2.0 * rho_new / delta) * (inv_d * res)
-            x = x + d
-            rho = rho_new
+            rho_new = 1.0 / (two_sigma - rho)
+            d = (rho_new * rho) * d + (rho_new * two_over_delta) * (inv_d * res)
+            return res, d, x + d, rho_new
+
+        state = (res, d, x, jnp.asarray(1.0 / sigma, dtype))
+        _, _, x, _ = jax.lax.fori_loop(1, degree, body, state)
+        return x
+
+    # -- fine level: fused Pallas sweep/resid kernels, unrolled -------------
+    def _fine_smooth(self, x, r, n: int):
+        """``n`` damped-Jacobi sweeps on the fine level.  ``x=None`` starts
+        from zero: the first sweep collapses to the elementwise
+        ``(omega/diag) * r`` (no stencil apply needed).  Sweeps are unrolled
+        Python calls, so each lowers to ONE fused rolling-window kernel on
+        TPU (ops/stencil_pallas.py v3) — never a fori_loop around a Pallas
+        dispatch (the nested-control-flow configuration that crashed the
+        remote TPU runtime in round 1)."""
+        fine = self.fine
+        if self.smoother == "cheby":
+            diag = jnp.broadcast_to(fine.diag, r.shape).astype(r.dtype)
+            x0 = jnp.zeros_like(r) if x is None else x
+            return self._smooth_cheby(fine.apply, diag, fine.free, x0, r, n)
+        if x is None:
+            diag = jnp.broadcast_to(fine.diag, r.shape).astype(r.dtype)
+            inv_d = jnp.where(
+                fine.free & (diag > 0),
+                jnp.asarray(self.omega, r.dtype)
+                / jnp.where(diag > 0, diag, jnp.ones((), r.dtype)),
+                jnp.zeros((), r.dtype),
+            )
+            x = inv_d * r
+            n -= 1
+        for _ in range(n):
+            x = smooth_sweep(x, r, fine.diag, fine.free, fine.w,
+                             fine.periodic, self.omega)
         return x
 
     def _vcycle(self, idx: int, r):
         # idx 0 = fine (MGLevel); idx >= 1 = self.levels[idx-1]
         if idx == 0:
-            lvl_apply = (self.fine.apply if self.fine_pallas
-                         else self.fine.apply_xla)  # see MGLevel.apply_xla
-            diag = jnp.broadcast_to(self.fine.diag, r.shape).astype(r.dtype)
-            free = self.fine.free
-        else:
-            lvl = self.levels[idx - 1]
-            lvl_apply = lvl.apply
-            diag, free = lvl.diag.astype(r.dtype), lvl.free
+            if not self.levels:  # volume too small to coarsen at all
+                diag = jnp.broadcast_to(self.fine.diag, r.shape).astype(r.dtype)
+                return self._smooth(self.fine.apply_xla, diag, self.fine.free,
+                                    jnp.zeros_like(r), r, self.coarse_sweeps)
+            x = self._fine_smooth(None, r, self.nu1)
+            resid = residual_restricted(x, r, self.fine.diag, self.fine.free,
+                                        self.fine.w, self.fine.periodic)
+            rc = _blocksum(resid)  # R = P^T (sum)
+            rc = jnp.where(self.levels[0].free, rc, jnp.zeros((), r.dtype))
+            ec = self._vcycle(1, rc)
+            x = x + jnp.where(self.fine.free, _prolong_pc(ec),
+                              jnp.zeros((), r.dtype))
+            return self._fine_smooth(x, r, self.nu2)
+
+        lvl = self.levels[idx - 1]
+        lvl_apply = lvl.apply
+        diag, free = lvl.diag.astype(r.dtype), lvl.free
 
         x = jnp.zeros_like(r)
         if idx == len(self.levels):  # coarsest

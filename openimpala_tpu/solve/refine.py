@@ -55,18 +55,10 @@ def make_precond(sys_, precond, opts=None, method: str = "cg"):
     opts = opts or {}
     if precond == "auto":
         # Galerkin multigrid wins everywhere it can run: 145 vs 7909
-        # iterations at 512^3.  On TPU above the fused-dispatch limit, CG
-        # has a chunked driver (solve/cg.py) that keeps each dispatch short;
-        # FGMRES does not yet, and a fused FGMRES(V-cycle) program at that
-        # size kills the remote TPU worker — it stays on Jacobi there.
-        import jax as _jax
-
-        big_tpu = (_jax.default_backend() == "tpu"
-                   and sys_.free.size > 192 ** 3)
-        if big_tpu and method not in ("cg", "pcg"):
-            precond = "jacobi"
-        else:
-            precond = "gmg"
+        # iterations at 512^3.  Both Krylov drivers chunk their dispatches
+        # on TPU (solve/cg.py chunked loop; solve/fgmres.py per-cycle host
+        # loop), so the V-cycle preconditioner is safe at any size.
+        precond = "gmg"
     if precond is None or precond == "none":
         return None
     if precond == "jacobi":

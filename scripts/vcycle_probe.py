@@ -1,0 +1,139 @@
+"""TPU probe: per-component cost of the MG-PCG iteration at N^3.
+
+Times (f32, volume passed as jit args):
+  - v2 Pallas matvec            (the CG matvec)
+  - XLA matvec                  (what fine-level smoothing uses today)
+  - XLA fused Jacobi sweep      x + inv_d*(r - A x)
+  - XLA AXPY                    z + alpha*p (pure elementwise ceiling)
+  - XLA dot                     <r, r> (reduction ceiling)
+  - full GalerkinMG V-cycle     (the preconditioner application)
+  - one chunked-CG iteration    (_cg_chunk with chunk=1)
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+import jax.numpy as jnp
+import numpy as np
+
+import openimpala_tpu  # noqa: F401
+from openimpala_tpu.ops.stencil import (
+    apply_restricted_xla, make_tortuosity_system, set_pallas_mode,
+)
+from openimpala_tpu.ops import stencil_pallas as sp
+from openimpala_tpu.ops.floodfill import percolation_mask
+from openimpala_tpu.solve.preconditioners import GalerkinMGPreconditioner
+
+
+def log(*a):
+    print(*a, flush=True)
+
+
+n = int(os.environ.get("N", "512"))
+log("device:", jax.devices()[0], "n:", n)
+
+rng = np.random.default_rng(0)
+phase = (rng.random((n, n, n)) < 0.6).astype(np.int8)
+active, vf = percolation_mask(phase, 1, 0)
+log(f"percolation vf={vf:.4f}")
+
+set_pallas_mode("0")
+system = make_tortuosity_system(jnp.asarray(active), 0, -1.0, 1.0,
+                                dtype=jnp.float32)
+del active, phase
+x = jnp.where(system.free, jnp.ones((n, n, n), jnp.float32), 0.0)
+r = x * 0.5
+W, PER = system.w, system.periodic
+
+SUM = jax.jit(jnp.sum)
+
+
+def _fetch(out):
+    """Host fetch = the only reliable execution barrier over the tunnel."""
+    leaf = jax.tree.leaves(out)[1 if isinstance(out, tuple) else 0]
+    return float(SUM(leaf)) if getattr(leaf, "ndim", 0) else float(leaf)
+
+
+def timeit(name, fn, out0, iters=30, bytes_per_cell=None):
+    """fn must CHAIN: out -> out (data dependence serialises the iterations);
+    one host fetch at the end is the barrier, fetch overhead subtracted."""
+    out = fn(out0)
+    _fetch(out)
+    t0 = time.time()
+    _fetch(out)
+    fetch_overhead = time.time() - t0
+    t0 = time.time()
+    for _ in range(iters):
+        out = fn(out)
+    _fetch(out)
+    dt = (time.time() - t0 - fetch_overhead) / iters
+    bw = ""
+    if bytes_per_cell:
+        bw = f"  -> {n**3 * bytes_per_cell / dt / 1e9:.0f} GB/s ({bytes_per_cell} B/cell model)"
+    log(f"{name:28s} {dt*1e3:8.2f} ms{bw}")
+    return dt
+
+
+D, F = system.diag, system.free
+
+# NB: the big arrays must enter as jit ARGUMENTS — closed-over constants
+# embed the volume in the HLO and blow the remote-compile payload limit.
+
+# 1. v2 Pallas matvec
+f_v2 = jax.jit(lambda xx, d, f: sp.stencil_matvec_pallas_v2(xx, d, f, W, PER))
+timeit("pallas v2 matvec", lambda xx: f_v2(xx, D, F), x, bytes_per_cell=13)
+
+# 1b. v3 matvec with fused dot
+f_v3d = jax.jit(
+    lambda xx, d, f: sp.fused_stencil_pallas("matvec", xx, None, d, f, W, PER,
+                                             with_dot=True)[0])
+timeit("pallas v3 matvec+dot", lambda xx: f_v3d(xx, D, F), x, bytes_per_cell=13)
+
+# 1c. v3 fused sweep / resid kernels
+f_v3s = jax.jit(lambda xx, rr, d, f: sp.fused_stencil_pallas(
+    "sweep", xx, rr, d, f, W, PER, omega=0.9))
+timeit("pallas v3 sweep", lambda xx: f_v3s(xx, r, D, F), x, bytes_per_cell=17)
+f_v3r = jax.jit(lambda xx, rr, d, f: sp.fused_stencil_pallas(
+    "resid", xx, rr, d, f, W, PER))
+timeit("pallas v3 resid", lambda xx: f_v3r(xx, r, D, F), x, bytes_per_cell=17)
+
+# 2. XLA matvec
+f_xla = jax.jit(lambda xx, d, f: apply_restricted_xla(xx, d, f, W, PER))
+timeit("xla matvec", lambda xx: f_xla(xx, D, F), x, bytes_per_cell=13)
+
+# 3. XLA fused Jacobi sweep
+def sweep(xx, rr, d, f):
+    inv_d = jnp.where(f, 0.9 / jnp.where(d > 0, d, 1.0), 0.0)
+    return xx + inv_d * (rr - apply_restricted_xla(xx, d, f, W, PER))
+
+f_sweep = jax.jit(sweep)
+timeit("xla jacobi sweep", lambda xx: f_sweep(xx, r, D, F), x,
+       bytes_per_cell=21)
+
+# 4. XLA AXPY
+f_axpy = jax.jit(lambda a, b: b + 0.37 * a)
+timeit("xla axpy", lambda xx: f_axpy(xx, r), x, bytes_per_cell=12)
+
+# 5. XLA dot (chained via scalar accumulate)
+f_dot = jax.jit(lambda a: a * (1.0 + 1e-12 * jnp.sum(a * a)))
+timeit("xla dot+scale <r,r>", f_dot, x, bytes_per_cell=12)
+
+# 6. full V-cycle
+M = GalerkinMGPreconditioner.from_system(system)
+M_apply = jax.jit(lambda M_, rr: M_(rr))
+timeit("gmg v-cycle", lambda rr: M_apply(M, rr), r, iters=10)
+
+# 7. one chunked-CG iteration
+from openimpala_tpu.solve.cg import _cg_chunk
+
+state = (x * 0, r, r, jnp.sum(r * r), jnp.array(0, jnp.int32),
+         jnp.asarray(1.0, jnp.float32), jnp.array(False))
+# _cg_chunk is itself jitted with system/M as pytree ARGS (no closures)
+timeit("cg iteration (1x chunk)",
+       lambda st: _cg_chunk(system, M, st, 1.0, 1e-12, 1), state, iters=10)
+log("done")

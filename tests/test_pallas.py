@@ -81,3 +81,48 @@ def test_v2_ring_selection():
     assert _rings_for(256 * 256 * 4) == (8, 4)   # 256^3: deep prefetch
     assert _rings_for(512 * 512 * 4) is not None  # 512^3 must be supported
     assert _rings_for(2048 * 2048 * 4) is None    # plane too big for VMEM
+
+
+@pytest.mark.parametrize("shape", [(10, 16, 128), (32, 24, 256)])
+@pytest.mark.parametrize("periodic_x", [False, True])
+def test_v3_modes_match_xla(shape, periodic_x, rng):
+    """The v3 fused engine (matvec+dot / resid / sweep) against the XLA
+    reference expressions, both BC regimes."""
+    from openimpala_tpu.ops.stencil import apply_restricted_xla
+    from openimpala_tpu.ops.stencil_pallas import fused_stencil_pallas
+
+    mask = rng.random(shape) < 0.7
+    if periodic_x:
+        system = make_cell_problem_system(jnp.asarray(mask), 0,
+                                          dtype=jnp.float32)
+    else:
+        system = make_tortuosity_system(jnp.asarray(mask), 0, -1.0, 1.0,
+                                        dtype=jnp.float32)
+    x = jnp.where(system.free,
+                  jnp.asarray(rng.standard_normal(shape), jnp.float32), 0.0)
+    r = jnp.where(system.free,
+                  jnp.asarray(rng.standard_normal(shape), jnp.float32), 0.0)
+    diag = jnp.broadcast_to(jnp.asarray(system.diag, jnp.float32), shape)
+    W, PER = system.w, system.periodic
+
+    ax = apply_restricted_xla(x, diag, system.free, W, PER)
+
+    out, dot = fused_stencil_pallas("matvec", x, None, diag, system.free,
+                                    W, PER, with_dot=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ax),
+                               rtol=1e-5, atol=1e-5)
+    assert float(dot) == pytest.approx(float(jnp.sum(ax * x)), rel=1e-4)
+
+    got = fused_stencil_pallas("resid", x, r, diag, system.free, W, PER,
+                               interpret=True)
+    want = jnp.where(system.free, r - ax, 0.0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+    got = fused_stencil_pallas("sweep", x, r, diag, system.free, W, PER,
+                               omega=0.9, interpret=True)
+    inv_d = jnp.where(system.free & (diag > 0),
+                      0.9 / jnp.where(diag > 0, diag, 1.0), 0.0)
+    want = x + inv_d * (r - ax)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)

@@ -128,6 +128,46 @@ def test_deff_driver_sharded_matches_single(rng):
                                rtol=1e-7, atol=1e-9)
 
 
+def test_threshold_sharded_raw_hyperslab(tmp_path, rng):
+    """Distributed ingest (io/ingest.py): per-device hyperslab reads ->
+    make_array_from_single_device_arrays, X padded with PAD_FILL.  Must
+    equal the single-host threshold on the physical domain."""
+    from openimpala_tpu.io import RawReader, threshold_sharded
+    from openimpala_tpu.io.ingest import PAD_FILL
+
+    vol = (rng.random((36, 16, 16)) * 255).astype(np.uint8)
+    path = tmp_path / "v.raw"
+    vol.transpose(2, 1, 0).tofile(path)  # file layout (Z, Y, X)
+    reader = RawReader(str(path), 36, 16, 16, "UINT8")
+
+    mesh = make_mesh(n_devices=8)
+    arr, shape = threshold_sharded(reader, 127.0, mesh)
+    assert shape == (36, 16, 16)
+    assert arr.shape == (40, 16, 16)  # padded to the mesh
+    assert len(arr.sharding.device_set) == 8
+    got = np.asarray(arr)
+    np.testing.assert_array_equal(got[:36], reader.threshold(127.0))
+    assert (got[36:] == PAD_FILL).all()
+
+
+def test_threshold_sharded_tiff_stream(tmp_path, rng):
+    """The z-streaming ingest path (TIFF pages) matches the reader."""
+    from PIL import Image
+
+    from openimpala_tpu.io import TiffReader, threshold_sharded
+
+    vol = (rng.random((32, 16, 12)) * 255).astype(np.uint8)  # (X, Y, Z)
+    pages = [Image.fromarray(vol[:, :, z].T) for z in range(vol.shape[2])]
+    path = tmp_path / "v.tif"
+    pages[0].save(path, save_all=True, append_images=pages[1:])
+    reader = TiffReader(str(path))
+
+    mesh = make_mesh(n_devices=8)
+    arr, shape = threshold_sharded(reader, 127.0, mesh, chunk=5)
+    assert shape == (32, 16, 12)
+    np.testing.assert_array_equal(np.asarray(arr), reader.threshold(127.0))
+
+
 def test_sharded_galerkin_mg_matches_single_device(rng):
     """The Galerkin V-cycle under GSPMD sharding (volume sharded along X
     over the 8-device mesh) must produce the same preconditioned residual
