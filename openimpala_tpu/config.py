@@ -155,6 +155,15 @@ class DiffusionConfig:
         c.precond = pp.query("solver.precond", c.precond)
         c.krylov_maxiter = pp.query("solver.krylov_maxiter", c.krylov_maxiter, int)
         c.inner_precision = pp.query("solver.inner_precision", c.inner_precision)
+        # hypre.maxiter compatibility (TortuosityHypre.cpp:143): the
+        # reference caps the preconditioned-FlexGMRES iteration count.  Our
+        # analogue is the total Krylov budget across refinement rounds, so an
+        # EXPLICIT hypre.maxiter becomes that budget unless the TPU-native
+        # solver.krylov_maxiter key overrides it.  The defaults differ on
+        # purpose (200 Hypre iterations vs 20000 float32 inner iterations —
+        # a Jacobi-preconditioned run legitimately needs thousands).
+        if "hypre.maxiter" in pp and "solver.krylov_maxiter" not in pp:
+            c.krylov_maxiter = c.maxiter
         return c
 
 

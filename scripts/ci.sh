@@ -1,0 +1,35 @@
+#!/usr/bin/env bash
+# CI entry point — the analogue of the reference's
+# .github/workflows/build-test.yml (suite <= 20 min gate, 1200 s at
+# build-test.yml:266): full pytest suite on the 8-device virtual CPU mesh,
+# then a 100^3 CLI smoke end to end (flow-through + homogenization) against
+# generated sample data.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+echo "=== unit + integration tests (virtual 8-device CPU mesh) ==="
+timeout 1200 python -m pytest tests/ -q
+
+echo "=== CLI smoke: 100^3 sample, flow-through X + homogenization ==="
+SMOKE=$(mktemp -d)
+trap 'rm -rf "$SMOKE"' EXIT
+python scripts/make_sample_data.py --n 100 --out "$SMOKE/data"
+cat > "$SMOKE/inputs" <<EOF
+filename = sample_2phase_stack_3d_1bit.tif
+data_path = $SMOKE/data/
+results_path = $SMOKE/results/
+phase_id = 1
+direction = X
+hypre.eps = 1e-9
+verbose = 1
+EOF
+OPENIMPALA_PLATFORM=cpu timeout 600 python -m openimpala_tpu.diffusion \
+    "$SMOKE/inputs" calculation_method=flow_through
+grep -q "Tortuosity_X" "$SMOKE/results/results.txt"
+OPENIMPALA_PLATFORM=cpu timeout 600 python -m openimpala_tpu.diffusion \
+    "$SMOKE/inputs" calculation_method=homogenization
+
+echo "=== multi-chip dry run (8 virtual devices) ==="
+timeout 600 python -c "import __graft_entry__ as g; g.dryrun_multichip(8)"
+
+echo "CI OK"

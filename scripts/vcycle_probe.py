@@ -128,6 +128,24 @@ M = GalerkinMGPreconditioner.from_system(system)
 M_apply = jax.jit(lambda M_, rr: M_(rr))
 timeit("gmg v-cycle", lambda rr: M_apply(M, rr), r, iters=10)
 
+# 6b. V-cycle component costs: coarse-level conductance apply + transfers
+from openimpala_tpu.solve.preconditioners import (
+    ConductanceLevel, _blocksum, _prolong_pc,
+)
+
+L1 = M.levels[0]  # n/2 level
+r1 = _blocksum(r)
+f_cond = jax.jit(lambda lvl, xx: lvl.apply(xx))
+timeit("cond apply (n/2 level)", lambda xx: f_cond(L1, xx), r1,
+       bytes_per_cell=3)  # 24 B/cell at (n/2)^3 = 3 B per fine cell
+f_bs = jax.jit(lambda xx: _prolong_pc(_blocksum(xx)) * 0.125)
+timeit("blocksum+prolong (fine)", f_bs, x, bytes_per_cell=9)
+smooth1 = jax.jit(lambda lvl, xx, rr: xx + jnp.where(
+    lvl.free, 0.9 / jnp.where(lvl.diag > 0, lvl.diag, 1.0), 0.0)
+    * (rr - lvl.apply(xx)))
+timeit("cond sweep (n/2 level)", lambda xx: smooth1(L1, xx, r1), r1,
+       bytes_per_cell=4)
+
 # 7. one chunked-CG iteration
 from openimpala_tpu.solve.cg import _cg_chunk
 

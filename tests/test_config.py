@@ -1,0 +1,46 @@
+"""Inputs-file configuration surface tests (ParmParse compat, §2.4 schema)."""
+
+import pytest
+
+from openimpala_tpu.config import DiffusionConfig, ParmParse, resolve_solver
+
+
+def _cfg(text: str) -> DiffusionConfig:
+    pp = ParmParse()
+    pp.parse_text("filename = a.tif\n" + text)
+    return DiffusionConfig.from_parmparse(pp)
+
+
+def test_parmparse_basics():
+    pp = ParmParse()
+    pp.parse_text("""
+        a.b = 3          # comment
+        s = "two words"
+        lst = 1 2 3
+        a.b = 4          # later definition wins (ParmParse semantics)
+    """)
+    assert pp.query("a.b", type=int) == 4
+    assert pp.query("s") == "two words"
+    assert pp.query_list("lst", type=int) == [1, 2, 3]
+    assert pp.query("missing", "dflt") == "dflt"
+    with pytest.raises(KeyError):
+        pp.get("missing")
+
+
+def test_hypre_maxiter_honored():
+    """An explicit hypre.maxiter becomes the Krylov budget
+    (TortuosityHypre.cpp:143); solver.krylov_maxiter overrides; neither set
+    keeps the TPU-native default."""
+    assert _cfg("").krylov_maxiter == 20000
+    assert _cfg("hypre.maxiter = 300").krylov_maxiter == 300
+    c = _cfg("hypre.maxiter = 300\nsolver.krylov_maxiter = 5000")
+    assert c.krylov_maxiter == 5000 and c.maxiter == 300
+
+
+def test_solver_surface():
+    # the full reference name surface (Diffusion.cpp:45-58) is accepted
+    for name in ["FlexGMRES", "GMRES", "FGMRES", "PCG", "CG", "Jacobi",
+                 "BiCGSTAB", "SMG", "PFMG"]:
+        assert resolve_solver(name) in ("cg", "flexgmres")
+    with pytest.raises(ValueError, match="Invalid solver string"):
+        resolve_solver("AMG")
