@@ -8,9 +8,10 @@ Re-design of ``OpenImpala::TiffReader`` (``src/io/TiffReader.{H,cpp}``):
   format/pages; voxels are only decoded by ``threshold``/``read``
   (``TiffReader.cpp:139-195``);
 * 1-bit packed, 8/16/32/64-bit integer and float samples, tiled or striped
-  layouts, FillOrder handling (``TiffReader.cpp:354-437``) — all delegated
-  to PIL's battle-tested TIFF codec, with a native C++ fast path for
-  uncompressed strips (io/native.py) used automatically when available;
+  layouts, FillOrder handling (``TiffReader.cpp:354-437``): uncompressed
+  files decode through the numpy IFD codec (io/tiff_raw.py — vectorised
+  strip/tile reads, the libtiff-equivalent coverage incl. float64 and tiled
+  layouts PIL cannot represent); compressed files fall back to PIL's codec;
 * chunked decode: ``read(z0, z1)`` returns a z-slab so distributed ingest
   never materialises the full volume on one host.
 
@@ -67,32 +68,52 @@ class TiffReader:
         return files or None
 
     def _read_metadata(self):
-        from PIL import Image
-
         self._files = self._sequence_files()
         first = self._files[0] if self._files else self._filename
-        with Image.open(first) as im:
-            self.width, self.height = im.size
-            tags = getattr(im, "tag_v2", {})
-            self.bits_per_sample = int(tags.get(258, (1 if im.mode == "1" else 8))
-                                       if not isinstance(tags.get(258), tuple)
-                                       else tags.get(258)[0])
-            fmt = tags.get(339, 1)
-            if isinstance(fmt, tuple):
-                fmt = fmt[0]
-            self.sample_format = {1: "uint", 2: "int", 3: "float"}.get(int(fmt), "uint")
-            spp = tags.get(277, 1)
-            if isinstance(spp, tuple):
-                spp = spp[0]
-            if int(spp) != 1:
-                raise ValueError(
-                    f"TiffReader: only 1 sample per pixel supported (got {spp}), "
-                    "matching the reference (TiffReader.cpp:167-173)"
-                )
-            if self._files:
-                self.depth = len(self._files)
+        self._raw = None  # numpy IFD codec handle (uncompressed files)
+        try:
+            from .tiff_raw import RawTiff
+
+            rt = RawTiff(first)
+            m = rt.meta(0)
+            if m["compression"] == 1:
+                self._raw = rt
+                self.width, self.height = m["width"], m["height"]
+                self.bits_per_sample = m["bps"]
+                self.sample_format = m["format"]
+                spp = m["spp"]
+                self.depth = (len(self._files) if self._files
+                              else len(rt.pages))
             else:
-                self.depth = getattr(im, "n_frames", 1)
+                raise ValueError("compressed; use PIL")
+        except ValueError:
+            from PIL import Image
+
+            with Image.open(first) as im:
+                self.width, self.height = im.size
+                tags = getattr(im, "tag_v2", {})
+                self.bits_per_sample = int(
+                    tags.get(258, (1 if im.mode == "1" else 8))
+                    if not isinstance(tags.get(258), tuple)
+                    else tags.get(258)[0])
+                fmt = tags.get(339, 1)
+                if isinstance(fmt, tuple):
+                    fmt = fmt[0]
+                self.sample_format = {1: "uint", 2: "int",
+                                      3: "float"}.get(int(fmt), "uint")
+                spp = tags.get(277, 1)
+                if isinstance(spp, tuple):
+                    spp = spp[0]
+                spp = int(spp)
+                if self._files:
+                    self.depth = len(self._files)
+                else:
+                    self.depth = getattr(im, "n_frames", 1)
+        if spp != 1:
+            raise ValueError(
+                f"TiffReader: only 1 sample per pixel supported (got {spp}), "
+                "matching the reference (TiffReader.cpp:167-173)"
+            )
         if self.bits_per_sample not in (1, 8, 16, 32, 64):
             raise ValueError(
                 f"TiffReader: unsupported bits-per-sample {self.bits_per_sample}"
@@ -113,6 +134,13 @@ class TiffReader:
 
     # -- voxel decode -----------------------------------------------------
     def _page(self, z: int) -> np.ndarray:
+        if self._raw is not None:
+            if self._files:
+                from .tiff_raw import RawTiff
+
+                # sequence mode: one single-page file per z
+                return RawTiff(self._files[z]).read_page(0)
+            return self._raw.read_page(z)
         from PIL import Image
 
         if self._files:

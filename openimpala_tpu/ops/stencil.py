@@ -104,12 +104,12 @@ def apply_restricted(x, diag, free, w, periodic):
     if _PALLAS_MODE != "0":
         from . import stencil_pallas
 
+        if stencil_pallas.supports_v3(x.shape, x.dtype, has_r=False):
+            # v3 rolling-window engine: in-kernel X halo (no pad copy)
+            return stencil_pallas.fused_stencil_pallas(
+                "matvec", x, None, jnp.asarray(diag), free, w, periodic
+            )
         if stencil_pallas.supports(x.shape, x.dtype, periodic):
-            if stencil_pallas.supports_v2(x.shape, x.dtype):
-                # rolling-window manual-DMA kernel: compulsory 13 B/cell
-                return stencil_pallas.stencil_matvec_pallas_v2(
-                    x, jnp.asarray(diag), free, w, periodic
-                )
             return stencil_pallas.stencil_matvec_pallas(
                 x, jnp.asarray(diag), free, w, periodic
             )
@@ -167,6 +167,31 @@ def residual_restricted(x, r, diag, free, w, periodic):
             )
     return jnp.where(free, r - apply_restricted_xla(x, diag, free, w, periodic),
                      jnp.zeros((), x.dtype))
+
+
+def residual_restrict(x, r, diag, free, w, periodic):
+    """The V-cycle's restriction input in ONE fused pass:
+
+        rc = blocksum_2x2x2( free ? r - A x : 0 )
+
+    returning the (X/2, Y/2, Z/2) coarse residual directly — the fine
+    residual volume is never written to HBM (saves ~11 B/cell of traffic vs
+    resid + separate block-sum)."""
+    if _PALLAS_MODE != "0" and all(s % 2 == 0 for s in x.shape):
+        from . import stencil_pallas
+
+        if stencil_pallas.supports_v3(x.shape, x.dtype, has_r=True,
+                                      restrict_=True):
+            return stencil_pallas.fused_stencil_pallas(
+                "restrict", x, r, jnp.asarray(diag), free, w, periodic
+            )
+    resid = jnp.where(free, r - apply_restricted_xla(x, diag, free, w, periodic),
+                      jnp.zeros((), x.dtype))
+    for axis in (2, 1, 0):
+        shape = list(resid.shape)
+        shape[axis:axis + 1] = [shape[axis] // 2, 2]
+        resid = resid.reshape(shape).sum(axis=axis + 1)
+    return resid
 
 
 @jax.tree_util.register_dataclass

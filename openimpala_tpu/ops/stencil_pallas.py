@@ -339,13 +339,24 @@ def _yz_neighbor_sum(xm, w, periodic_yz):
                       + _shift_plane(xm, 1, 1, periodic_yz[1])))
 
 
-def _fused_kernel_v3(*refs, w, periodic_yz, n_planes, xr, dr, mode, omega,
-                     with_dot):
+def _fused_kernel_v3(*refs, w, periodic_x, periodic_yz, n_planes, xr, dr,
+                     mode, omega, with_dot):
+    # x_ref holds the UNPADDED volume: the X halo is handled in-kernel
+    # (wrap-indexed fetches on periodic X, zero-filled window slots on
+    # clamped X) — the jnp.pad copy this replaces cost ~8 B/cell per call.
+    sz_ref = None
     if mode == "matvec":
-        (xp_ref, diag_ref, free_ref), out_refs = refs[:3], refs[3:]
+        (x_ref, diag_ref, free_ref), out_refs = refs[:3], refs[3:]
         r_ref = None
+    elif mode == "restrict":
+        # resid + full 2x2x2 block-sum restriction in one pass: the output
+        # is the COARSE residual (X/2, Y/2, Z/2).  Y pairs via sublane
+        # reshape-sum, Z (lane) pairs via a small MXU matmul with the
+        # (Z, Z/2) pair-selection matrix, X pairs by accumulating plane
+        # pairs in the output ring.
+        (x_ref, r_ref, diag_ref, free_ref, sz_ref), out_refs = refs[:5], refs[5:]
     else:
-        (xp_ref, r_ref, diag_ref, free_ref), out_refs = refs[:4], refs[4:]
+        (x_ref, r_ref, diag_ref, free_ref), out_refs = refs[:4], refs[4:]
     out_ref = out_refs[0]
     acc_ref = out_refs[1] if with_dot else None
 
@@ -361,93 +372,161 @@ def _fused_kernel_v3(*refs, w, periodic_yz, n_planes, xr, dr, mode, omega,
             return pltpu.make_async_copy(obuf.at[i32(slot)], out_ref.at[i32(k)],
                                          osem.at[i32(slot)])
 
+        lax = jax.lax
+        c = np.int32
+        n = n_planes
+
+        # window plane j in [-1, n]: slot (j+1) % xr
+        def xslot(j):
+            return lax.rem(lax.add(j, c(1)), c(xr)) if not isinstance(j, int) \
+                else np.int32((j + 1) % xr)
+
+        def start_x(j, slot):
+            """Begin making window plane j available in ``slot``."""
+            if isinstance(j, int):  # prologue: static index
+                if periodic_x:
+                    fetch(x_ref, xbuf, xsem, (j + n) % n, slot).start()
+                elif 0 <= j < n:
+                    fetch(x_ref, xbuf, xsem, j, slot).start()
+                else:
+                    xbuf[i32(slot)] = jnp.zeros(xbuf.shape[1:], xbuf.dtype)
+                return
+            if periodic_x:
+                src = lax.rem(lax.add(j, c(n)), c(n))
+                fetch(x_ref, xbuf, xsem, src, slot).start()
+            else:
+                in_r = lax.lt(j, c(n))  # in-loop j is always >= 1
+
+                @pl.when(in_r)
+                def _():
+                    fetch(x_ref, xbuf, xsem, j, slot).start()
+
+                @pl.when(jnp.logical_not(in_r))
+                def _():
+                    xbuf[slot] = jnp.zeros(xbuf.shape[1:], xbuf.dtype)
+
+        def wait_x(j, slot):
+            if isinstance(j, int):
+                if periodic_x or 0 <= j < n:
+                    fetch(x_ref, xbuf, xsem, 0, slot).wait()
+                return
+            if periodic_x:
+                fetch(x_ref, xbuf, xsem, 0, slot).wait()
+            else:
+                @pl.when(lax.lt(j, c(n)))
+                def _():
+                    fetch(x_ref, xbuf, xsem, 0, slot).wait()
+
         has_r = r_ref is not None
-        for kk in range(min(xr - 1, n_planes + 2)):
-            fetch(xp_ref, xbuf, xsem, kk, kk).start()
-        for kk in range(min(dr - 1, n_planes)):
+        # prologue: window planes -1 .. xr-3, streamed planes 0 .. dr-2
+        for jj in range(-1, min(xr - 2, n + 1)):
+            start_x(jj, (jj + 1) % xr)
+        for kk in range(min(dr - 1, n)):
             fetch(diag_ref, dbuf, dsem, kk, kk).start()
             fetch(free_ref, fbuf, fsem, kk, kk).start()
             if has_r:
                 fetch(r_ref, rbuf, rsem, kk, kk).start()
-        fetch(xp_ref, xbuf, xsem, 0, 0).wait()
-        fetch(xp_ref, xbuf, xsem, 1, 1).wait()
-
-        lax = jax.lax
-        c = np.int32
+        wait_x(-1, 0)
+        wait_x(0, 1)
 
         def loop(k, acc):
             kp1 = lax.add(k, c(1))
-            kp2 = lax.add(k, c(2))
-            kpxr = lax.add(k, c(xr - 1))
+            jpre = lax.add(k, c(xr - 2))  # window prefetch index
             kpdr = lax.add(k, c(dr - 1))
-            s_kx = lax.rem(k, c(xr))
-            s_k1_x = lax.rem(kp1, c(xr))
-            s_k2_x = lax.rem(kp2, c(xr))
-            s_kxr = lax.rem(kpxr, c(xr))
+            s_lo = xslot(lax.sub(k, c(1)))
+            s_mid = xslot(k)
+            s_hi = xslot(kp1)
+            s_pre = xslot(jpre)
             s_kd = lax.rem(k, c(dr))
             s_kdr = lax.rem(kpdr, c(dr))
 
-            @pl.when(lax.lt(kpxr, c(n_planes + 2)))
+            @pl.when(lax.le(jpre, c(n)))
             def _():
-                fetch(xp_ref, xbuf, xsem, kpxr, s_kxr).start()
+                start_x(jpre, s_pre)
 
-            @pl.when(lax.lt(kpdr, c(n_planes)))
+            @pl.when(lax.lt(kpdr, c(n)))
             def _():
                 fetch(diag_ref, dbuf, dsem, kpdr, s_kdr).start()
                 fetch(free_ref, fbuf, fsem, kpdr, s_kdr).start()
                 if has_r:
                     fetch(r_ref, rbuf, rsem, kpdr, s_kdr).start()
 
-            fetch(xp_ref, xbuf, xsem, kp2, s_k2_x).wait()
+            wait_x(kp1, s_hi)
             fetch(diag_ref, dbuf, dsem, k, s_kd).wait()
             fetch(free_ref, fbuf, fsem, k, s_kd).wait()
             if has_r:
                 fetch(r_ref, rbuf, rsem, k, s_kd).wait()
 
-            @pl.when(lax.ge(k, c(dr)))
-            def _():
-                put_out(lax.sub(k, c(dr)), s_kd).wait()
+            if mode != "restrict":
+                @pl.when(lax.ge(k, c(dr)))
+                def _():
+                    put_out(lax.sub(k, c(dr)), s_kd).wait()
 
-            xlo = xbuf[s_kx]
-            xm = xbuf[s_k1_x]
-            xhi = xbuf[s_k2_x]
+            xlo = xbuf[s_lo]
+            xm = xbuf[s_mid]
+            xhi = xbuf[s_hi]
             ax = dbuf[s_kd] * xm - (w[0] * (xlo + xhi)
                                     + _yz_neighbor_sum(xm, w, periodic_yz))
             free = fbuf[s_kd] != 0
             zero = jnp.zeros((), xm.dtype)
             if mode == "matvec":
                 plane = jnp.where(free, ax, zero)
-            elif mode == "resid":
+            elif mode in ("resid", "restrict"):
                 plane = jnp.where(free, rbuf[s_kd] - ax, zero)
             else:  # sweep
                 d = dbuf[s_kd]
                 inv_d = jnp.where(free & (d > 0),
                                   omega / jnp.where(d > 0, d, 1.0), zero)
                 plane = xm + inv_d * (rbuf[s_kd] - ax)
-            obuf[s_kd] = plane
-            put_out(k, s_kd).start()
-            if with_dot:
-                acc = acc + jnp.sum(plane * xm, dtype=jnp.float32)
+
+            if mode == "restrict":
+                Y = plane.shape[0]
+                py = plane.reshape(Y // 2, 2, -1).sum(axis=1)  # Y pairs
+                pyz = jax.lax.dot(py, sz_ref[...],  # Z pairs on the MXU
+                                  preferred_element_type=jnp.float32)
+                kh = lax.div(k, c(2))
+                s_out = lax.rem(kh, c(dr))
+                even = lax.rem(k, c(2)) == 0
+
+                @pl.when(even & lax.ge(kh, c(dr)))
+                def _():  # slot about to be re-initialised: drain its put
+                    put_out(lax.sub(kh, c(dr)), s_out).wait()
+
+                @pl.when(even)
+                def _():
+                    obuf[s_out] = pyz
+
+                @pl.when(jnp.logical_not(even))
+                def _():
+                    obuf[s_out] = obuf[s_out] + pyz
+                    put_out(kh, s_out).start()
+            else:
+                obuf[s_kd] = plane
+                put_out(k, s_kd).start()
+                if with_dot:
+                    acc = acc + jnp.sum(plane * xm, dtype=jnp.float32)
             return acc
 
-        acc = jax.lax.fori_loop(jnp.int32(0), jnp.int32(n_planes), loop,
+        acc = jax.lax.fori_loop(jnp.int32(0), jnp.int32(n), loop,
                                 jnp.zeros((), jnp.float32), unroll=False)
         if with_dot:
             acc_ref[0, 0] = acc
-        for back in range(1, min(dr, n_planes) + 1):
-            kk = n_planes - back
+        n_out = n // 2 if mode == "restrict" else n
+        for back in range(1, min(dr, n_out) + 1):
+            kk = n_out - back
             put_out(kk, kk % dr).wait()
 
-    Y, Z = xp_ref.shape[1], xp_ref.shape[2]
-    dtype = xp_ref.dtype
+    Y, Z = x_ref.shape[1], x_ref.shape[2]
+    dtype = x_ref.dtype
     r_slots = dr if r_ref is not None else 1  # dummy min ring when unused
+    oshape = (dr, Y // 2, Z // 2) if mode == "restrict" else (dr, Y, Z)
     pl.run_scoped(
         body,
         xbuf=pltpu.VMEM((xr, Y, Z), dtype),
         rbuf=pltpu.VMEM((r_slots, Y, Z), dtype),
         dbuf=pltpu.VMEM((dr, Y, Z), dtype),
         fbuf=pltpu.VMEM((dr, Y, Z), jnp.int8),
-        obuf=pltpu.VMEM((dr, Y, Z), dtype),
+        obuf=pltpu.VMEM(oshape, dtype),
         xsem=pltpu.SemaphoreType.DMA((xr,)),
         rsem=pltpu.SemaphoreType.DMA((r_slots,)),
         dsem=pltpu.SemaphoreType.DMA((dr,)),
@@ -466,14 +545,203 @@ def _rings_for_v3(plane_bytes: int, has_r: bool):
     return None
 
 
-def supports_v3(shape, dtype, has_r: bool) -> bool:
+def supports_v3(shape, dtype, has_r: bool, restrict_: bool = False) -> bool:
     if jax.default_backend() != "tpu" or jnp.dtype(dtype) != jnp.float32:
         return False
     X, Y, Z = shape
     if Y % 8 != 0 or Z % 128 != 0:
         return False
+    if restrict_ and (X % 2 or Y % 16 or Z % 256):
+        return False  # coarse output plane must itself be (8, 128)-tileable
     rings = _rings_for_v3(Y * Z * 4, has_r)
     return rings is not None and X >= rings[0]
+
+
+# ---------------------------------------------------------------------------
+# Conductance-level kernel: the coarse Galerkin operators are variable-
+# coefficient 7-point stencils  A x = diag*x - sum_f c_f x_nbr  with per-face
+# conductances (cx, cy, cz) — see solve/preconditioners.py ConductanceLevel.
+# Same rolling-window scheme as v3; every X fetch is wrap-indexed because
+# clamped axes carry ZERO wrap conductances by construction (the wrapped x
+# value is multiplied by 0), so no boundary zero-fill is needed at all.
+# ---------------------------------------------------------------------------
+
+
+def _cond_kernel(x_ref, cx_ref, cy_ref, cz_ref, d_ref, *rest, n_planes, xr,
+                 dr, mode, omega):
+    if mode == "sweep":
+        r_ref, out_ref = rest
+    else:
+        (out_ref,) = rest
+        r_ref = None
+
+    def body(xbuf, cxbuf, cybuf, czbuf, dbuf, rbuf, obuf,
+             xsem, cxsem, cysem, czsem, dsem, rsem, osem):
+        def i32(v):
+            return np.int32(v) if isinstance(v, int) else v
+
+        def fetch(src, dst, sem, k, slot):
+            return pltpu.make_async_copy(src.at[i32(k)], dst.at[i32(slot)],
+                                         sem.at[i32(slot)])
+
+        def put_out(k, slot):
+            return pltpu.make_async_copy(obuf.at[i32(slot)], out_ref.at[i32(k)],
+                                         osem.at[i32(slot)])
+
+        lax = jax.lax
+        c = np.int32
+        n = n_planes
+        has_r = r_ref is not None
+
+        def wrap(j):
+            if isinstance(j, int):
+                return (j + n) % n
+            return lax.rem(lax.add(j, c(n)), c(n))
+
+        def wslot(j):
+            if isinstance(j, int):
+                return (j + 1) % xr
+            return lax.rem(lax.add(j, c(1)), c(xr))
+
+        # prologue: x and cx window planes -1 .. xr-3; streams 0 .. dr-2
+        for jj in range(-1, min(xr - 2, n + 1)):
+            fetch(x_ref, xbuf, xsem, wrap(jj), (jj + 1) % xr).start()
+            fetch(cx_ref, cxbuf, cxsem, wrap(jj), (jj + 1) % xr).start()
+        for kk in range(min(dr - 1, n)):
+            fetch(cy_ref, cybuf, cysem, kk, kk).start()
+            fetch(cz_ref, czbuf, czsem, kk, kk).start()
+            fetch(d_ref, dbuf, dsem, kk, kk).start()
+            if has_r:
+                fetch(r_ref, rbuf, rsem, kk, kk).start()
+        fetch(x_ref, xbuf, xsem, 0, 0).wait()
+        fetch(cx_ref, cxbuf, cxsem, 0, 0).wait()
+        fetch(x_ref, xbuf, xsem, 0, 1).wait()
+        fetch(cx_ref, cxbuf, cxsem, 0, 1).wait()
+
+        def loop(k, carry):
+            kp1 = lax.add(k, c(1))
+            jpre = lax.add(k, c(xr - 2))
+            kpdr = lax.add(k, c(dr - 1))
+            s_lo, s_mid, s_hi = wslot(lax.sub(k, c(1))), wslot(k), wslot(kp1)
+            s_pre = wslot(jpre)
+            s_kd = lax.rem(k, c(dr))
+            s_kdr = lax.rem(kpdr, c(dr))
+
+            @pl.when(lax.le(jpre, c(n)))
+            def _():
+                fetch(x_ref, xbuf, xsem, wrap(jpre), s_pre).start()
+                fetch(cx_ref, cxbuf, cxsem, wrap(jpre), s_pre).start()
+
+            @pl.when(lax.lt(kpdr, c(n)))
+            def _():
+                fetch(cy_ref, cybuf, cysem, kpdr, s_kdr).start()
+                fetch(cz_ref, czbuf, czsem, kpdr, s_kdr).start()
+                fetch(d_ref, dbuf, dsem, kpdr, s_kdr).start()
+                if has_r:
+                    fetch(r_ref, rbuf, rsem, kpdr, s_kdr).start()
+
+            fetch(x_ref, xbuf, xsem, 0, s_hi).wait()
+            fetch(cx_ref, cxbuf, cxsem, 0, s_hi).wait()
+            fetch(cy_ref, cybuf, cysem, 0, s_kd).wait()
+            fetch(cz_ref, czbuf, czsem, 0, s_kd).wait()
+            fetch(d_ref, dbuf, dsem, 0, s_kd).wait()
+            if has_r:
+                fetch(r_ref, rbuf, rsem, 0, s_kd).wait()
+
+            @pl.when(lax.ge(k, c(dr)))
+            def _():
+                put_out(lax.sub(k, c(dr)), s_kd).wait()
+
+            xm = xbuf[s_mid]
+            d = dbuf[s_kd]
+            cy = cybuf[s_kd]
+            cz = czbuf[s_kd]
+            nbr = cxbuf[s_mid] * xbuf[s_hi] + cxbuf[s_lo] * xbuf[s_lo]
+            nbr += cy * _shift_plane(xm, 0, 1, True)
+            nbr += _shift_plane(cy * xm, 0, -1, True)
+            nbr += cz * _shift_plane(xm, 1, 1, True)
+            nbr += _shift_plane(cz * xm, 1, -1, True)
+            free = d > 0
+            zero = jnp.zeros((), xm.dtype)
+            ax = d * xm - nbr
+            if mode == "matvec":
+                plane = jnp.where(free, ax, zero)
+            else:  # sweep
+                inv_d = jnp.where(free, omega / jnp.where(free, d, 1.0), zero)
+                plane = xm + inv_d * (rbuf[s_kd] - ax)
+            obuf[s_kd] = plane
+            put_out(k, s_kd).start()
+            return carry
+
+        jax.lax.fori_loop(jnp.int32(0), jnp.int32(n), loop, jnp.int32(0),
+                          unroll=False)
+        for back in range(1, min(dr, n) + 1):
+            kk = n - back
+            put_out(kk, kk % dr).wait()
+
+    Y, Z = x_ref.shape[1], x_ref.shape[2]
+    dtype = x_ref.dtype
+    r_slots = dr if mode == "sweep" else 1
+    pl.run_scoped(
+        body,
+        xbuf=pltpu.VMEM((xr, Y, Z), dtype),
+        cxbuf=pltpu.VMEM((xr, Y, Z), dtype),
+        cybuf=pltpu.VMEM((dr, Y, Z), dtype),
+        czbuf=pltpu.VMEM((dr, Y, Z), dtype),
+        dbuf=pltpu.VMEM((dr, Y, Z), dtype),
+        rbuf=pltpu.VMEM((r_slots, Y, Z), dtype),
+        obuf=pltpu.VMEM((dr, Y, Z), dtype),
+        xsem=pltpu.SemaphoreType.DMA((xr,)),
+        cxsem=pltpu.SemaphoreType.DMA((xr,)),
+        cysem=pltpu.SemaphoreType.DMA((dr,)),
+        czsem=pltpu.SemaphoreType.DMA((dr,)),
+        dsem=pltpu.SemaphoreType.DMA((dr,)),
+        rsem=pltpu.SemaphoreType.DMA((r_slots,)),
+        osem=pltpu.SemaphoreType.DMA((dr,)),
+    )
+
+
+def _cond_rings(plane_bytes: int, has_r: bool):
+    for xr, dr in ((6, 3), (5, 2), (4, 2)):
+        n_dr = 4 + (1 if has_r else 0)  # cy, cz, d, out (+ r)
+        if (2 * xr + n_dr * dr) * plane_bytes < 11 * 1024 * 1024:
+            return xr, dr
+    return None
+
+
+def supports_cond(shape, dtype, has_r: bool) -> bool:
+    if jax.default_backend() != "tpu" or jnp.dtype(dtype) != jnp.float32:
+        return False
+    X, Y, Z = shape
+    if Y % 8 != 0 or Z % 128 != 0:
+        return False
+    rings = _cond_rings(Y * Z * 4, has_r)
+    return rings is not None and X >= rings[0]
+
+
+@functools.partial(jax.jit, static_argnames=("mode", "omega", "interpret"))
+def fused_conductance_pallas(mode, x, r, cx, cy, cz, diag, omega: float = 0.9,
+                             interpret: bool = False):
+    """Conductance-operator kernel: mode in {"matvec", "sweep"}."""
+    X, Y, Z = x.shape
+    has_r = mode == "sweep"
+    xr, dr = _cond_rings(Y * Z * 4, has_r)
+    kernel = functools.partial(_cond_kernel, n_planes=X, xr=xr, dr=dr,
+                               mode=mode, omega=float(omega))
+    inputs = [x, cx, cy, cz, diag] + ([r] if has_r else [])
+    return pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * len(inputs),
+        out_shape=jax.ShapeDtypeStruct((X, Y, Z), x.dtype),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        cost_estimate=pl.CostEstimate(
+            flops=16 * X * Y * Z,
+            bytes_accessed=(24 + (4 if has_r else 0)) * X * Y * Z,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*inputs)
 
 
 @functools.partial(jax.jit, static_argnames=("mode", "w", "periodic", "omega",
@@ -489,28 +757,34 @@ def fused_stencil_pallas(mode, x, r, diag, free, w, periodic,
     """
     X, Y, Z = x.shape
     dtype = x.dtype
-    xp = jnp.pad(x, ((1, 1), (0, 0), (0, 0)),
-                 mode="wrap" if periodic[0] else "constant")
     diag_full = jnp.broadcast_to(jnp.asarray(diag, dtype), x.shape)
     free8 = free.astype(jnp.int8)
     has_r = mode != "matvec"
     xr, dr = _rings_for_v3(Y * Z * 4, has_r)
     kernel = functools.partial(
         _fused_kernel_v3, w=tuple(float(v) for v in w),
+        periodic_x=bool(periodic[0]),
         periodic_yz=(periodic[1], periodic[2]), n_planes=X, xr=xr, dr=dr,
         mode=mode, omega=float(omega), with_dot=with_dot,
     )
-    n_in = 3 + (1 if has_r else 0)
-    out_shape = [jax.ShapeDtypeStruct((X, Y, Z), dtype)]
+    out_dims = (X // 2, Y // 2, Z // 2) if mode == "restrict" else (X, Y, Z)
+    out_shape = [jax.ShapeDtypeStruct(out_dims, dtype)]
     out_specs = [pl.BlockSpec(memory_space=pl.ANY)]
     if with_dot:
         out_shape.append(jax.ShapeDtypeStruct((1, 1), jnp.float32))
         out_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
     bytes_cell = 13 + (4 if has_r else 0)
-    inputs = (xp, r, diag_full, free8) if has_r else (xp, diag_full, free8)
+    inputs = [x, r, diag_full, free8] if has_r else [x, diag_full, free8]
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * len(inputs)
+    if mode == "restrict":
+        # (Z, Z/2) lane-pair selection matrix for the in-kernel Z block-sum
+        sz = jnp.zeros((Z, Z // 2), dtype).at[
+            jnp.arange(Z), jnp.arange(Z) // 2].set(1.0)
+        inputs.append(sz)
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
     out = pl.pallas_call(
         kernel,
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_in,
+        in_specs=in_specs,
         out_shape=out_shape,
         out_specs=out_specs,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),

@@ -99,19 +99,22 @@ def _cg_chunk(system, precond, state, denom, eps, chunk: int):
     def body(_, st):
         z, r, p, rz, it, rel, done = st
         ap, pap = system.apply_with_dot(p)
-        ok = pap > 0
-        alpha = jnp.where(ok, rz / jnp.where(ok, pap, 1.0), 0.0)
-        z2 = z + alpha * p
-        r2 = r - alpha * ap
-        rel2 = jnp.sqrt(_dot(r2, r2)) / denom
-        y = M(r2)
-        rz2 = _dot(r2, y)
-        beta = jnp.where(rz > 0, rz2 / jnp.where(rz > 0, rz, 1.0), 0.0)
-        p2 = y + beta * p
-        done2 = done | (rel2 <= eps) | (~ok)
-        sel = lambda new, old: jnp.where(done, old, new)
-        return (sel(z2, z), sel(r2, r), sel(p2, p), sel(rz2, rz),
-                sel(it + 1, it), sel(rel2, rel), done2)
+        # past convergence / breakdown, alpha (and then beta via the frozen
+        # residual) pins to 0 and every field is a fixed point — so no
+        # per-field done-masking is needed, saving three full-volume select
+        # passes per iteration.  Only the iteration counter is gated.
+        ok = (pap > 0) & (~done)
+        alpha = jnp.where(ok, rz / jnp.where(pap > 0, pap, 1.0), 0.0)
+        z = z + alpha * p
+        r = r - alpha * ap
+        rel2 = jnp.sqrt(_dot(r, r)) / denom
+        y = M(r)
+        rz2 = _dot(r, y)
+        beta = jnp.where(ok & (rz > 0), rz2 / jnp.where(rz > 0, rz, 1.0), 0.0)
+        p = y + beta * p  # frozen solves: p drifts but alpha stays 0
+        done2 = done | (rel2 <= eps) | (pap <= 0)
+        return (z, r, p, rz2, jnp.where(done, it, it + 1),
+                jnp.where(done, rel, rel2), done2)
 
     return jax.lax.fori_loop(0, chunk, body, state)
 

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from ..ops.stencil import (
     apply_restricted,
     apply_restricted_xla,
-    residual_restricted,
+    residual_restrict,
     smooth_sweep,
     weighted_degree,
 )
@@ -77,6 +77,9 @@ class ChebyshevPreconditioner:
     degree: int = dataclasses.field(default=8, metadata=dict(static=True))
     hi: float = dataclasses.field(default=2.0, metadata=dict(static=True))
     ratio: float = dataclasses.field(default=24.0, metadata=dict(static=True))
+    # pin the XLA operator form: required under vmap (the manual-DMA Pallas
+    # kernels have no batching rule) — solve/batched.py sets this
+    use_xla: bool = dataclasses.field(default=False, metadata=dict(static=True))
 
     @classmethod
     def from_system(cls, system, degree: int = 8, hi: float = 2.0,
@@ -92,7 +95,8 @@ class ChebyshevPreconditioner:
         return jnp.where(ok, v / safe.astype(v.dtype), jnp.zeros((), v.dtype))
 
     def _apply_A(self, v):
-        return apply_restricted(v, self.diag, self.free, self.w, self.periodic)
+        fn = apply_restricted_xla if self.use_xla else apply_restricted
+        return fn(v, self.diag, self.free, self.w, self.periodic)
 
     def __call__(self, r):
         # fori_loop formulation: the unrolled recurrence exploded XLA compile
@@ -181,12 +185,38 @@ class ConductanceLevel:
         return self.diag > 0
 
     def apply(self, x):
+        from ..ops import stencil as _st
+        from ..ops import stencil_pallas as _sp
+
+        if (_st._PALLAS_MODE != "0" and x.dtype == self.diag.dtype
+                and _sp.supports_cond(x.shape, x.dtype, has_r=False)):
+            return _sp.fused_conductance_pallas(
+                "matvec", x, None, self.cx, self.cy, self.cz, self.diag)
         c = (self.cx, self.cy, self.cz)
         out = self.diag * x
         for ax in range(3):
             out = out - c[ax] * jnp.roll(x, -1, axis=ax)
             out = out - jnp.roll(c[ax] * x, 1, axis=ax)
         return jnp.where(self.free, out, jnp.zeros((), x.dtype))
+
+    def sweep(self, x, r, omega: float):
+        """One damped-Jacobi sweep, fused on TPU (ops/stencil_pallas.py
+        conductance kernel); the XLA form otherwise."""
+        from ..ops import stencil as _st
+        from ..ops import stencil_pallas as _sp
+
+        if (_st._PALLAS_MODE != "0" and x.dtype == self.diag.dtype
+                and _sp.supports_cond(x.shape, x.dtype, has_r=True)):
+            return _sp.fused_conductance_pallas(
+                "sweep", x, r, self.cx, self.cy, self.cz, self.diag,
+                omega=omega)
+        inv_d = jnp.where(
+            self.free,
+            jnp.asarray(omega, r.dtype)
+            / jnp.where(self.free, self.diag, jnp.ones((), r.dtype)),
+            jnp.zeros((), r.dtype),
+        )
+        return x + inv_d * (r - self.apply(x))
 
 
 def _blocksum(x):
@@ -368,10 +398,11 @@ class GalerkinMGPreconditioner:
                 return self._smooth(self.fine.apply_xla, diag, self.fine.free,
                                     jnp.zeros_like(r), r, self.coarse_sweeps)
             x = self._fine_smooth(None, r, self.nu1)
-            resid = residual_restricted(x, r, self.fine.diag, self.fine.free,
-                                        self.fine.w, self.fine.periodic)
-            rc = _blocksum(resid)  # R = P^T (sum)
-            rc = jnp.where(self.levels[0].free, rc, jnp.zeros((), r.dtype))
+            # rc = blocksum(free ? r - A x : 0), one fused pass (R = P^T).
+            # No coarse-free masking needed: resid vanishes on non-free fine
+            # cells and non-free coarse cells have inv_d = 0 everywhere.
+            rc = residual_restrict(x, r, self.fine.diag, self.fine.free,
+                                   self.fine.w, self.fine.periodic)
             ec = self._vcycle(1, rc)
             x = x + jnp.where(self.fine.free, _prolong_pc(ec),
                               jnp.zeros((), r.dtype))
@@ -382,17 +413,38 @@ class GalerkinMGPreconditioner:
         diag, free = lvl.diag.astype(r.dtype), lvl.free
 
         x = jnp.zeros_like(r)
-        if idx == len(self.levels):  # coarsest
+        if idx == len(self.levels):  # coarsest: tiny, fori_loop + XLA
             return self._smooth(lvl_apply, diag, free, x, r, self.coarse_sweeps)
 
-        x = self._smooth(lvl_apply, diag, free, x, r, self.nu1)
+        x = self._cond_smooth(lvl, diag, free, None, r, self.nu1)
         resid = jnp.where(free, r - lvl_apply(x), jnp.zeros((), r.dtype))
         rc = _blocksum(resid)  # R = P^T (sum)
         coarse_free = self.levels[idx].free
         rc = jnp.where(coarse_free, rc, jnp.zeros((), r.dtype))
         ec = self._vcycle(idx + 1, rc)
         x = x + jnp.where(free, _prolong_pc(ec), jnp.zeros((), r.dtype))
-        return self._smooth(lvl_apply, diag, free, x, r, self.nu2)
+        return self._cond_smooth(lvl, diag, free, x, r, self.nu2)
+
+    def _cond_smooth(self, lvl, diag, free, x, r, n: int):
+        """Coarse-level smoothing: unrolled fused conductance sweeps (never
+        a fori_loop around a Pallas dispatch); ``x=None`` starts from zero
+        with the elementwise first sweep.  Chebyshev smoothing keeps the
+        shared recurrence path."""
+        if self.smoother == "cheby":
+            x0 = jnp.zeros_like(r) if x is None else x
+            return self._smooth_cheby(lvl.apply, diag, free, x0, r, n)
+        if x is None:
+            inv_d = jnp.where(
+                free,
+                jnp.asarray(self.omega, r.dtype)
+                / jnp.where(free, diag, jnp.ones((), r.dtype)),
+                jnp.zeros((), r.dtype),
+            )
+            x = inv_d * r
+            n -= 1
+        for _ in range(n):
+            x = lvl.sweep(x, r, self.omega)
+        return x
 
     def __call__(self, r):
         return self._vcycle(0, r)

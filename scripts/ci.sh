@@ -8,7 +8,7 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 
 echo "=== unit + integration tests (virtual 8-device CPU mesh) ==="
-timeout 1200 python -m pytest tests/ -q
+OPENIMPALA_HEAVY_TESTS=1 timeout 1200 python -m pytest tests/ -q
 
 echo "=== CLI smoke: 100^3 sample, flow-through X + homogenization ==="
 SMOKE=$(mktemp -d)

@@ -42,7 +42,8 @@ phase = (rng.random((n, n, n)) < 0.6).astype(np.int8)
 active, vf = percolation_mask(phase, 1, 0)
 log(f"percolation vf={vf:.4f}")
 
-set_pallas_mode("0")
+# pallas mode stays "auto": composite timings (V-cycle, CG iteration)
+# must exercise the production kernel path
 system = make_tortuosity_system(jnp.asarray(active), 0, -1.0, 1.0,
                                 dtype=jnp.float32)
 del active, phase
@@ -102,6 +103,24 @@ f_v3r = jax.jit(lambda xx, rr, d, f: sp.fused_stencil_pallas(
     "resid", xx, rr, d, f, W, PER))
 timeit("pallas v3 resid", lambda xx: f_v3r(xx, r, D, F), x, bytes_per_cell=17)
 
+# numerics: compiled kernels vs XLA on this device (catches miscompiles the
+# CPU interpreter cannot)
+got = np.asarray(f_v3s(x, r, D, F))
+inv_d = jnp.where(F & (D > 0), 0.9 / jnp.where(D > 0, D, 1.0), 0.0)
+want = np.asarray(x + inv_d * (r - apply_restricted_xla(x, D, F, W, PER)))
+err = np.abs(got - want).max()
+log(f"sweep kernel max|err| vs xla: {err:.3e}")
+assert err < 1e-5
+
+# composition: 3 chained sweeps in ONE program (vs 3x the standalone time)
+f_s3 = jax.jit(lambda xx, rr, d, f: sp.fused_stencil_pallas(
+    "sweep", sp.fused_stencil_pallas(
+        "sweep", sp.fused_stencil_pallas("sweep", xx, rr, d, f, W, PER,
+                                         omega=0.9),
+        rr, d, f, W, PER, omega=0.9), rr, d, f, W, PER, omega=0.9))
+timeit("3 sweeps fused program", lambda xx: f_s3(xx, r, D, F), x,
+       bytes_per_cell=51)
+
 # 2. XLA matvec
 f_xla = jax.jit(lambda xx, d, f: apply_restricted_xla(xx, d, f, W, PER))
 timeit("xla matvec", lambda xx: f_xla(xx, D, F), x, bytes_per_cell=13)
@@ -145,6 +164,26 @@ smooth1 = jax.jit(lambda lvl, xx, rr: xx + jnp.where(
     * (rr - lvl.apply(xx)))
 timeit("cond sweep (n/2 level)", lambda xx: smooth1(L1, xx, r1), r1,
        bytes_per_cell=4)
+
+# 6c. subtree decomposition: coarse subtree (levels 1..L) vs fine stage
+f_sub = jax.jit(lambda M_, rc: M_._vcycle(1, rc))
+timeit("coarse subtree (1..L)", lambda rc: f_sub(M, rc), r1, iters=10)
+
+
+def fine_stage(M_, rr):
+    x = M_._fine_smooth(None, rr, M_.nu1)
+    from openimpala_tpu.ops.stencil import residual_restricted as rres
+
+    resid = rres(x, rr, M_.fine.diag, M_.fine.free, M_.fine.w,
+                 M_.fine.periodic)
+    rc = _blocksum(resid)
+    rc = jnp.where(M_.levels[0].free, rc, 0.0)
+    x = x + jnp.where(M_.fine.free, _prolong_pc(rc), 0.0)
+    return M_._fine_smooth(x, rr, M_.nu2)
+
+
+f_fine = jax.jit(fine_stage)
+timeit("fine stage (no subtree)", lambda rr: f_fine(M, rr), r, iters=10)
 
 # 7. one chunked-CG iteration
 from openimpala_tpu.solve.cg import _cg_chunk

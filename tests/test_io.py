@@ -184,3 +184,80 @@ class TestWriters:
         rows = p.read_text().splitlines()
         assert rows[0] == "Name [units],Value,Reference,Notes"
         assert any("Positive electrode porosity,0.40000000" in r for r in rows)
+
+
+class TestTiffRawCodec:
+    """Full TIFF sample coverage via the numpy IFD codec (io/tiff_raw.py):
+    BPS in {1,8,16,32,64}, int/uint/float, striped AND tiled, FillOrder —
+    the layouts the reference decodes with libtiff (TiffReader.cpp:354-437)
+    and PIL cannot (float64, 64-bit int, tiled)."""
+
+    @pytest.mark.parametrize("dtype", ["uint8", "uint16", "int32", "uint64",
+                                       "float32", "float64"])
+    @pytest.mark.parametrize("tile", [None, (8, 16)])
+    def test_dtype_layout_roundtrip(self, rng, tmp_path, dtype, tile):
+        from openimpala_tpu.io.tiff import TiffReader
+        from openimpala_tpu.io.tiff_raw import write_tiff
+
+        shape_yx = (20, 30)  # non-multiples of the tile: edge tiles crop
+        if np.dtype(dtype).kind == "f":
+            pages = [rng.standard_normal(shape_yx).astype(dtype)
+                     for _ in range(5)]
+        else:
+            info = np.iinfo(dtype)
+            hi = min(info.max, 2**62)
+            pages = [rng.integers(max(info.min, -2**62), hi, shape_yx)
+                     .astype(dtype) for _ in range(5)]
+        path = tmp_path / f"v_{dtype}_{'tiled' if tile else 'striped'}.tif"
+        write_tiff(str(path), pages, tile=tile)
+
+        r = TiffReader(str(path))
+        assert r.shape == (30, 20, 5)
+        assert r.bits_per_sample == np.dtype(dtype).itemsize * 8
+        want = np.stack(pages).transpose(2, 1, 0)  # (X, Y, Z)
+        np.testing.assert_array_equal(r.read(), want)
+
+    @pytest.mark.parametrize("fill_order", [1, 2])
+    @pytest.mark.parametrize("tile", [None, (8, 16)])
+    def test_1bit_fill_order(self, rng, tmp_path, fill_order, tile):
+        from openimpala_tpu.io.tiff import TiffReader
+        from openimpala_tpu.io.tiff_raw import write_tiff
+
+        pages = [rng.random((16, 24)) < 0.5 for _ in range(4)]
+        path = tmp_path / f"bits_fo{fill_order}.tif"
+        write_tiff(str(path), pages, tile=tile, fill_order=fill_order)
+
+        r = TiffReader(str(path))
+        assert r.bits_per_sample == 1
+        want = np.stack(pages).transpose(2, 1, 0)
+        np.testing.assert_array_equal(r.read().astype(bool), want)
+
+    def test_float64_tiled_threshold(self, rng, tmp_path):
+        """The VERDICT r1 'done' case: a 64-bit float TILED TIFF decodes and
+        thresholds with the strict > semantics."""
+        from openimpala_tpu.io.tiff import TiffReader
+        from openimpala_tpu.io.tiff_raw import write_tiff
+
+        pages = [rng.standard_normal((24, 40)) for _ in range(6)]
+        path = tmp_path / "f64_tiled.tif"
+        write_tiff(str(path), pages, tile=(16, 16))
+
+        r = TiffReader(str(path))
+        assert (r.bits_per_sample, r.sample_format) == (64, "float")
+        phase = r.threshold(0.0)
+        want = (np.stack(pages).transpose(2, 1, 0) > 0.0).astype(np.int8)
+        np.testing.assert_array_equal(phase, want)
+
+    def test_bundled_sample_uses_raw_codec(self, sample_tif_path):
+        """The bundled 1-bit stack is uncompressed: the numpy codec must
+        pick it up and agree with PIL's decode."""
+        from PIL import Image
+
+        from openimpala_tpu.io.tiff import TiffReader
+
+        r = TiffReader(sample_tif_path)
+        assert r._raw is not None
+        with Image.open(sample_tif_path) as im:
+            im.seek(3)
+            want = np.asarray(im)
+        np.testing.assert_array_equal(r._page(3).astype(want.dtype), want)
