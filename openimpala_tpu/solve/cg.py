@@ -90,6 +90,13 @@ def _cg_chunk(system, precond, state, denom, eps, chunk: int):
     plain Jacobi bodies run for thousands).  Chunking bounds the per-dispatch
     work while keeping dispatch overhead 1/chunk of the per-step host loop.
     Iterations past convergence pass state through unchanged.
+
+    The loop body is the TOP-form PCG recurrence (preconditioner applied at
+    the start of the body, ``beta`` from the previous <r,y>): mathematically
+    the same iterate sequence as the classic bottom form, but it needs NO
+    ``y0 = M(r0)`` prologue — which otherwise runs a full V-cycle as dozens
+    of eager dispatches (or one extra compiled program) before the first
+    chunk.  On the tunnelled TPU that prologue alone cost 5-9 s per solve.
     """
     dtype = state[1].dtype
     eps = jnp.asarray(eps, dtype)
@@ -97,39 +104,47 @@ def _cg_chunk(system, precond, state, denom, eps, chunk: int):
     M = precond
 
     def body(_, st):
-        z, r, p, rz, it, rel, done = st
+        z, r, p, rz_prev, it, rel, done = st
+        y = M(r)
+        rz = _dot(r, y)
+        # first iteration: rz_prev = 0 sentinel -> beta = 0, p = y (p0 = 0).
+        # past convergence / breakdown, alpha pins to 0 and z/r are fixed
+        # points (p drifts but never feeds back) — so no per-field
+        # done-masking is needed, saving three full-volume select passes
+        # per iteration.  Only the iteration counter is gated.
+        beta = jnp.where((rz_prev > 0) & (~done),
+                         rz / jnp.where(rz_prev > 0, rz_prev, 1.0), 0.0)
+        p = y + beta * p
         ap, pap = system.apply_with_dot(p)
-        # past convergence / breakdown, alpha (and then beta via the frozen
-        # residual) pins to 0 and every field is a fixed point — so no
-        # per-field done-masking is needed, saving three full-volume select
-        # passes per iteration.  Only the iteration counter is gated.
         ok = (pap > 0) & (~done)
         alpha = jnp.where(ok, rz / jnp.where(pap > 0, pap, 1.0), 0.0)
         z = z + alpha * p
         r = r - alpha * ap
         rel2 = jnp.sqrt(_dot(r, r)) / denom
-        y = M(r)
-        rz2 = _dot(r, y)
-        beta = jnp.where(ok & (rz > 0), rz2 / jnp.where(rz > 0, rz, 1.0), 0.0)
-        p = y + beta * p  # frozen solves: p drifts but alpha stays 0
         done2 = done | (rel2 <= eps) | (pap <= 0)
-        return (z, r, p, rz2, jnp.where(done, it, it + 1),
+        return (z, r, p, rz, jnp.where(done, it, it + 1),
                 jnp.where(done, rel, rel2), done2)
 
     return jax.lax.fori_loop(0, chunk, body, state)
 
 
+@jax.jit
+def _rel0(r0, denom, eps):
+    rel0 = jnp.sqrt(_dot(r0, r0)) / denom
+    return rel0, rel0 <= eps
+
+
 def _cg_chunked_loop(system, r0, denom, eps, maxiter: int, precond,
                      chunk: int = 16):
     """Host-driven PCG advancing ``chunk`` fused iterations per dispatch
-    (see _cg_chunk); convergence checked on the host between chunks."""
+    (see _cg_chunk); convergence checked on the host between chunks.
+    The prologue is a single tiny reduction — all preconditioner work
+    happens inside the chunk program."""
     dtype = r0.dtype
-    z = jnp.zeros_like(r0)
-    y = precond(r0)
-    rz = _dot(r0, y)
-    rel0 = jnp.sqrt(_dot(r0, r0)) / jnp.asarray(denom, dtype)
-    state = (z, r0, y, rz, jnp.array(0, jnp.int32), rel0,
-             rel0 <= jnp.asarray(eps, dtype))
+    denom = jnp.asarray(denom, dtype)
+    rel0, done0 = _rel0(r0, denom, jnp.asarray(eps, dtype))
+    state = (jnp.zeros_like(r0), r0, jnp.zeros_like(r0),
+             jnp.zeros((), dtype), jnp.array(0, jnp.int32), rel0, done0)
     while True:
         state = _cg_chunk(system, precond, state, denom, eps, chunk)
         it = int(state[4])
