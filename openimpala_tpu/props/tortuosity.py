@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -29,12 +30,28 @@ from ..ops.flux import boundary_fluxes
 from ..ops.masks import linear_ramp
 from ..ops.stencil import make_tortuosity_system
 from ..parallel.mesh import resolve_mesh, shard_volume
+from ..solve import warmup
 from ..solve.refine import solve_system
 from ..utils.common import parse_direction
 from ..utils.profiling import phase_timer
 
 TINY_FLUX = 1e-15  # reference tiny_flux_threshold, TortuosityHypre.cpp:64
 FLUX_TOL = 1e-6  # reference flux conservation gate, TortuosityHypre.cpp:794
+
+
+@partial(jax.jit, static_argnames=("direction", "vlo", "vhi", "dx",
+                                   "storage", "hi_plane"))
+def _build_system(active, direction, vlo, vhi, dx, storage, hi_plane):
+    """System + initial guess, jitted so GSPMD propagates the X sharding of
+    ``active`` into every derived solver field.  Module-level (not a per-call
+    closure) so the trace is cached across driver calls and the warm-up
+    thread primes exactly this program."""
+    storage = np.dtype(storage).type  # static string key -> callable scalar type
+    sys_ = make_tortuosity_system(active, direction, vlo, vhi, dx,
+                                  dtype=storage, hi_plane=hi_plane)
+    ramp = linear_ramp(active.shape, direction, vlo, vhi, dtype=storage)
+    x0 = jnp.where(sys_.free, ramp, jnp.zeros((), storage))
+    return sys_, x0
 
 
 @dataclasses.dataclass
@@ -87,6 +104,25 @@ def tortuosity(
         with phase_timer("tortuosity/remspot"):
             phase = np.asarray(remspot(jnp.asarray(phase), remspot_passes))
 
+    # domain-decomposition geometry depends only on the shape — resolve it
+    # up front so the warm-up thread can prime the production solver
+    # programs (hierarchy, chunked-CG, outer residual) while the percolation
+    # fill runs on the host (solve/warmup.py)
+    mesh = resolve_mesh(mesh, shape)
+    pad = 0
+    hi_plane = None
+    if mesh is not None:
+        pad = (-shape[0]) % mesh.devices.size
+        if pad and direction == 0:
+            hi_plane = shape[0] - 1  # outlet stays at the original face
+    solve_shape = (shape[0] + pad,) + tuple(shape[1:])
+    storage = dtype if inner_dtype is None else inner_dtype
+    warm = warmup.maybe_start(
+        solve_shape, direction, vlo, vhi, dx, jnp.dtype(storage).name,
+        hi_plane, mesh, precond, precond_opts, method, inner_dtype, dtype,
+        eps,
+    )
+
     with phase_timer("tortuosity/percolation_mask"):
         active, active_vf = percolation_mask(
             phase, phase_id, direction, method=percolation_method
@@ -104,38 +140,24 @@ def tortuosity(
     # domain decomposition: pad X with inactive cells to mesh divisibility
     # (identity rows, never referenced — exact), shard every solver field
     # along X.  The percolation mask stays a host computation.
-    mesh = resolve_mesh(mesh, shape)
     active_np = np.asarray(active)
-    hi_plane = None
     if mesh is not None:
-        n_dev = mesh.devices.size
-        pad = (-shape[0]) % n_dev
         if pad:
             active_np = np.pad(active_np, ((0, pad), (0, 0), (0, 0)))
-            if direction == 0:
-                hi_plane = shape[0] - 1  # outlet stays at the original face
         active_j = shard_volume(jnp.asarray(active_np), mesh)
         if verbose > 0:
-            print(f"  Mesh: {n_dev} devices, X {shape[0]}->"
+            print(f"  Mesh: {mesh.devices.size} devices, X {shape[0]}->"
                   f"{active_np.shape[0]} (pad {pad})")
     else:
         active_j = jnp.asarray(active_np)
-    solve_shape = active_np.shape
 
-    # store the system in the Krylov dtype (coefficients are exact there);
-    # the refinement driver upcasts to ``dtype`` on the fly — see refine.py
-    storage = dtype if inner_dtype is None else inner_dtype
+    if warm is not None:
+        warm.join()  # never compile the same program from two threads
     with phase_timer("tortuosity/system_setup"):
-        def _build(a):
-            # jitted so GSPMD propagates the X sharding of ``a`` into every
-            # derived solver field (diag, free, x_forced, x0)
-            sys_ = make_tortuosity_system(a, direction, vlo, vhi, dx,
-                                          dtype=storage, hi_plane=hi_plane)
-            ramp = linear_ramp(solve_shape, direction, vlo, vhi, dtype=storage)
-            x0 = jnp.where(sys_.free, ramp, jnp.zeros((), storage))
-            return sys_, x0
-
-        system, x0_free = jax.jit(_build)(active_j)
+        system, x0_free = _build_system(
+            active_j, direction, float(vlo), float(vhi), tuple(dx),
+            jnp.dtype(storage).name, hi_plane,
+        )
 
     with phase_timer("tortuosity/solve"):
         x_full, info = solve_system(

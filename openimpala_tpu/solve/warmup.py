@@ -1,0 +1,112 @@
+"""Solver warm-up: overlap program compile/load with host-side work.
+
+Through the tunnelled TPU runtime, bringing a big solve online costs real
+wall-clock before the first iteration runs: the Galerkin hierarchy
+construction programs, the fused chunked-CG program (~4-5 s to
+compile/deserialize + upload at 512^3), and the float64 outer-residual
+program.  All of that depends only on SHAPES, dtypes, and static solver
+options — not on the voxel data.  Meanwhile the percolation flood fill
+(props/tortuosity.py step 2) is a pure host computation whose ctypes call
+releases the GIL.
+
+``start(...)`` launches a daemon thread that builds a dummy system of the
+final solve shape (all-active mask — identical shapes and hierarchy depth,
+identical compile keys) and executes one chunk of the production CG program
+plus one outer-residual evaluation, priming every jit cache the real solve
+will hit.  ``join()`` must be called before the real solve so the two never
+compile the same program concurrently.
+
+The reference has no counterpart (Hypre setup happens inline after the MPI
+flood fill, ``TortuosityHypre.cpp:208-649``); this is tunnel-latency
+engineering, correctness-neutral and best-effort — any exception in the
+thread is swallowed and the real solve simply compiles on demand.
+"""
+
+from __future__ import annotations
+
+import threading
+
+
+def _warm(shape, direction, vlo, vhi, dx, storage_name, hi_plane, mesh,
+          precond, precond_opts, method, inner_dtype, outer_dtype, eps):
+    import jax
+    import jax.numpy as jnp
+
+    from ..props.tortuosity import _build_system
+    from .refine import make_precond, _outer_residual
+
+    ones = jnp.ones(shape, jnp.int8)
+    if mesh is not None:
+        from ..parallel.mesh import shard_volume
+
+        ones = shard_volume(ones, mesh)
+    system, x0 = _build_system(ones, direction, vlo, vhi, dx, storage_name,
+                               hi_plane)
+    M = make_precond(system, precond, precond_opts, method)
+
+    from .cg import _cg_chunk, _rel0
+    from .preconditioners import GalerkinMGPreconditioner
+
+    on_tpu = jax.default_backend() == "tpu"
+    if (on_tpu and method in ("cg", "pcg")
+            and isinstance(M, GalerkinMGPreconditioner)):
+        r0 = system.initial_residual(x0)
+        dtype = r0.dtype
+        denom = jnp.asarray(system.b_norm, dtype)
+        rel0, done0 = _rel0(r0, denom, jnp.asarray(eps, dtype))
+        state = (jnp.zeros_like(r0), r0, jnp.zeros_like(r0),
+                 jnp.zeros((), dtype), jnp.array(0, jnp.int32), rel0, done0)
+        state = _cg_chunk(system, M, state, denom, eps, 16)
+        jax.block_until_ready(state[0])
+    if inner_dtype is not None and (
+            jnp.dtype(inner_dtype) != jnp.dtype(outer_dtype)):
+        _, scale = _outer_residual(system, x0.astype(outer_dtype),
+                                   jnp.dtype(outer_dtype).name)
+        jax.block_until_ready(scale)
+
+
+class SolverWarmup:
+    """Best-effort background prime of the solve-path programs."""
+
+    def __init__(self, *args):
+        self._thread = threading.Thread(
+            target=self._run, args=args, daemon=True, name="oi-solver-warmup"
+        )
+        self._thread.start()
+
+    def _run(self, *args):
+        try:
+            _warm(*args)
+        except Exception:
+            pass  # warm-up is opportunistic; the real solve compiles on demand
+
+    def join(self, timeout: float = 600.0):
+        self._thread.join(timeout)
+
+
+def maybe_start(shape, direction, vlo, vhi, dx, storage_name, hi_plane, mesh,
+                precond, precond_opts, method, inner_dtype, outer_dtype,
+                eps) -> SolverWarmup | None:
+    """Start the warm-up thread when it can plausibly pay for itself: TPU
+    backend, a volume large enough that program load dominates (the
+    percolation fill it overlaps with also scales with volume), and MORE
+    THAN ONE host core — executable deserialization is local CPU work, so
+    on a single-core host the "overlap" just serializes with (and slows)
+    the flood fill; measured 512^3: 16.9 s -> 23 s with the thread forced
+    on a 1-core host."""
+    import os
+
+    import jax
+
+    try:
+        if jax.default_backend() != "tpu":
+            return None
+    except Exception:
+        return None
+    if (os.cpu_count() or 1) < 2:
+        return None
+    if shape[0] * shape[1] * shape[2] < 192 ** 3:
+        return None
+    return SolverWarmup(shape, direction, float(vlo), float(vhi), tuple(dx),
+                        storage_name, hi_plane, mesh, precond, precond_opts,
+                        method, inner_dtype, outer_dtype, float(eps))
