@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -30,6 +31,16 @@ from ..ops.stencil import make_cell_problem_system
 from ..parallel.mesh import resolve_mesh, shard_volume
 from ..solve.refine import solve_system
 from ..utils.common import parse_direction
+
+
+@partial(jax.jit, static_argnames=("k", "dx", "storage"))
+def _build_cell_system(active, k, dx, storage):
+    """Cell-problem system + zero initial iterate (EffDiffFillMtx.F90:126),
+    jitted at module level so GSPMD propagates the X sharding of ``active``
+    and the trace/compile is cached across directions and driver calls."""
+    storage = np.dtype(storage).type
+    return (make_cell_problem_system(active, k, dx, dtype=storage),
+            jnp.zeros(active.shape, storage))
 
 
 @dataclasses.dataclass
@@ -99,14 +110,8 @@ def effective_diffusivity(
     storage = dtype if inner_dtype is None else inner_dtype
     chis, iters, rels, convs = [], [], [], []
     for k in range(3):
-        # jitted so GSPMD propagates the X sharding of ``active`` into the
-        # system fields and the zero initial iterate
-        system, x0 = jax.jit(
-            lambda a, k=k: (
-                make_cell_problem_system(a, k, dx, dtype=storage),
-                jnp.zeros(a.shape, storage),  # xinit = 0 (EffDiffFillMtx.F90:126)
-            )
-        )(active)
+        system, x0 = _build_cell_system(active, k, tuple(dx),
+                                        jnp.dtype(storage).name)
         chi_k, info = solve_system(
             system, x0, eps=eps, maxiter=maxiter, method=method, precond=precond,
             inner_dtype=inner_dtype, outer_dtype=dtype, precond_opts=precond_opts,
