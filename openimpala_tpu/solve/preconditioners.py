@@ -20,6 +20,7 @@ from ..ops.stencil import (
     apply_restricted,
     apply_restricted_xla,
     residual_restrict,
+    residual_restricted,
     smooth_sweep,
     weighted_degree,
 )
@@ -275,6 +276,86 @@ def _prolong_pc(xc):
     return jnp.repeat(x, 2, axis=2)
 
 
+# --- trilinear (cell-centred) transfers -------------------------------------
+#
+# Piecewise-constant transfers cap the V-cycle's quality: measured at 256^3,
+# even the FULLY ACTIVE Poisson problem needs ~52 PCG(V(2,2)) iterations for
+# 8 decades (PC interpolation carries no linear variation, so kappa(M^-1 A)
+# saturates at a large constant).  Cell-centred trilinear interpolation
+# (per-axis weights 3/4, 1/4) with its exact transpose as restriction
+# restores textbook behaviour.  The Galerkin conductance coarse operators
+# are kept as-is (built from face sums, i.e. the PC-Galerkin operator) —
+# with R = P^T and a symmetric smoother the cycle remains a symmetric PSD
+# preconditioner even though A_c is no longer exactly P^T A P; convergence
+# is what the measurement below justifies.
+#
+# All forms are pair-reshape/roll based — no strided gathers (see the NB
+# above on lowering).
+
+
+def _prolong_tri_axis(e, axis, periodic: bool):
+    """One axis of cell-centred trilinear prolongation (nc -> 2nc):
+    even fine = 3/4 e_i + 1/4 e_{i-1}; odd fine = 3/4 e_i + 1/4 e_{i+1};
+    clamped axes fold the out-of-domain weight onto the edge cell (so the
+    edge fine cells copy the edge coarse cell)."""
+    a = jnp.asarray(0.75, e.dtype)
+    b = jnp.asarray(0.25, e.dtype)
+    lo = jnp.roll(e, 1, axis=axis)   # e_{i-1}
+    hi = jnp.roll(e, -1, axis=axis)  # e_{i+1}
+    if not periodic:
+        sl = [slice(None)] * e.ndim
+        sl[axis] = slice(0, 1)
+        lo = lo.at[tuple(sl)].set(e[tuple(sl)])
+        sl[axis] = slice(-1, None)
+        hi = hi.at[tuple(sl)].set(e[tuple(sl)])
+    st = jnp.stack([a * e + b * lo, a * e + b * hi], axis=axis + 1)
+    shape = list(e.shape)
+    shape[axis] *= 2
+    return st.reshape(shape)
+
+
+def _restrict_tri_axis(f, axis, periodic: bool):
+    """Exact transpose of ``_prolong_tri_axis`` (2nc -> nc).  Weight sum per
+    coarse cell is 2 (matching the PC block-sum scaling the Galerkin
+    conductance operators are built for)."""
+    a = jnp.asarray(0.75, f.dtype)
+    b = jnp.asarray(0.25, f.dtype)
+    ev = _pairsel(f, axis, 0)
+    od = _pairsel(f, axis, 1)
+    od_m1 = jnp.roll(od, 1, axis=axis)   # od_{i-1}
+    ev_p1 = jnp.roll(ev, -1, axis=axis)  # ev_{i+1}
+    if not periodic:
+        # transpose of the clamped fold-in: zero the wrapped plane, then
+        # credit the folded weight to the edge coarse cells
+        sl = [slice(None)] * f.ndim
+        sl[axis] = slice(0, 1)
+        od_m1 = od_m1.at[tuple(sl)].set(0.0)
+        out_lo_fix = b * ev[tuple(sl)]
+        sl[axis] = slice(-1, None)
+        ev_p1 = ev_p1.at[tuple(sl)].set(0.0)
+        out_hi_fix = b * od[tuple(sl)]
+    out = a * (ev + od) + b * (od_m1 + ev_p1)
+    if not periodic:
+        sl = [slice(None)] * f.ndim
+        sl[axis] = slice(0, 1)
+        out = out.at[tuple(sl)].add(out_lo_fix)
+        sl[axis] = slice(-1, None)
+        out = out.at[tuple(sl)].add(out_hi_fix)
+    return out
+
+
+def _prolong_tri(xc, periodic):
+    for ax in range(3):
+        xc = _prolong_tri_axis(xc, ax, periodic[ax])
+    return xc
+
+
+def _restrict_tri(xf, periodic):
+    for ax in range(3):
+        xf = _restrict_tri_axis(xf, ax, periodic[ax])
+    return xf
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class GalerkinMGPreconditioner:
@@ -293,6 +374,25 @@ class GalerkinMGPreconditioner:
     omega: float = dataclasses.field(default=0.9, metadata=dict(static=True))
     coarse_sweeps: int = dataclasses.field(default=50, metadata=dict(static=True))
     smoother: str = dataclasses.field(default="jacobi", metadata=dict(static=True))
+    # "pc" | "tri".  Measured at 256^3 (random RHS, 1e-8): trilinear
+    # transfers over the PC-Galerkin conductance operators do NOT beat PC
+    # (52->54 iters fully-active, 87->108 porous) — the cycle is limited by
+    # the PC approximation property of the COARSE OPERATOR, not by the
+    # interpolation order, so "pc" stays the default.
+    transfer: str = dataclasses.field(default="pc", metadata=dict(static=True))
+    # "v" | "w": W-cycle recurses twice per coarse level down to
+    # ``w_depth`` (then V below, bounding compile size at 2^w_depth
+    # coarsest visits).  Holds the 2-level contraction (~0.6) where the
+    # V-cycle compounds to ~0.87 at depth: measured porous 40% blobs to
+    # 1e-8, 256^3: 87 -> 52 iters (0.76 -> 0.56 s); 512^3: 130 -> 82-84
+    # iters (6.6 -> 4.3 s warm, ~1.5x).  The W program is ~2x bigger, and
+    # on this tunnelled single-core host its one-time deserialize+upload
+    # costs +4.9 s (11.4 vs 6.5 s at 512^3) — more than the iteration
+    # saving for a one-shot solve — so "v" stays the default; pass
+    # precond_opts={"cycle": "w"} for persistent processes (REV sweeps,
+    # servers) where the load amortises.
+    cycle: str = dataclasses.field(default="v", metadata=dict(static=True))
+    w_depth: int = dataclasses.field(default=2, metadata=dict(static=True))
 
     @classmethod
     def from_system(cls, system, max_levels: int = 16, **kw):
@@ -398,13 +498,19 @@ class GalerkinMGPreconditioner:
                 return self._smooth(self.fine.apply_xla, diag, self.fine.free,
                                     jnp.zeros_like(r), r, self.coarse_sweeps)
             x = self._fine_smooth(None, r, self.nu1)
-            # rc = blocksum(free ? r - A x : 0), one fused pass (R = P^T).
-            # No coarse-free masking needed: resid vanishes on non-free fine
-            # cells and non-free coarse cells have inv_d = 0 everywhere.
-            rc = residual_restrict(x, r, self.fine.diag, self.fine.free,
-                                   self.fine.w, self.fine.periodic)
+            if self.transfer == "tri":
+                resid = residual_restricted(x, r, self.fine.diag,
+                                            self.fine.free, self.fine.w,
+                                            self.fine.periodic)
+                rc = _restrict_tri(resid, self.fine.periodic)
+            else:
+                # rc = blocksum(free ? r - A x : 0), one fused pass (R=P^T).
+                # No coarse-free masking needed: resid vanishes on non-free
+                # fine cells and non-free coarse cells have inv_d = 0.
+                rc = residual_restrict(x, r, self.fine.diag, self.fine.free,
+                                       self.fine.w, self.fine.periodic)
             ec = self._vcycle(1, rc)
-            x = x + jnp.where(self.fine.free, _prolong_pc(ec),
+            x = x + jnp.where(self.fine.free, self._prolong(ec),
                               jnp.zeros((), r.dtype))
             return self._fine_smooth(x, r, self.nu2)
 
@@ -417,13 +523,23 @@ class GalerkinMGPreconditioner:
             return self._smooth(lvl_apply, diag, free, x, r, self.coarse_sweeps)
 
         x = self._cond_smooth(lvl, diag, free, None, r, self.nu1)
-        resid = jnp.where(free, r - lvl_apply(x), jnp.zeros((), r.dtype))
-        rc = _blocksum(resid)  # R = P^T (sum)
-        coarse_free = self.levels[idx].free
-        rc = jnp.where(coarse_free, rc, jnp.zeros((), r.dtype))
-        ec = self._vcycle(idx + 1, rc)
-        x = x + jnp.where(free, _prolong_pc(ec), jnp.zeros((), r.dtype))
+        n_corr = 2 if (self.cycle == "w" and idx <= self.w_depth) else 1
+        for _ in range(n_corr):
+            resid = jnp.where(free, r - lvl_apply(x), jnp.zeros((), r.dtype))
+            if self.transfer == "tri":
+                rc = _restrict_tri(resid, self.fine.periodic)
+            else:
+                rc = _blocksum(resid)  # R = P^T (sum)
+            coarse_free = self.levels[idx].free
+            rc = jnp.where(coarse_free, rc, jnp.zeros((), r.dtype))
+            ec = self._vcycle(idx + 1, rc)
+            x = x + jnp.where(free, self._prolong(ec), jnp.zeros((), r.dtype))
         return self._cond_smooth(lvl, diag, free, x, r, self.nu2)
+
+    def _prolong(self, ec):
+        if self.transfer == "tri":
+            return _prolong_tri(ec, self.fine.periodic)
+        return _prolong_pc(ec)
 
     def _cond_smooth(self, lvl, diag, free, x, r, n: int):
         """Coarse-level smoothing: unrolled fused conductance sweeps (never

@@ -8,6 +8,17 @@ import os
 # Tests run on the virtual 8-device CPU mesh unless OPENIMPALA_TEST_TPU=1
 # opts in to the real chip (slower: every compile crosses the tunnel).
 if os.environ.get("OPENIMPALA_TEST_TPU", "0") != "1":
+    import sys
+
+    # Keep the tunnelled-TPU plugin entirely out of CPU test processes: it
+    # is injected via PYTHONPATH and, even when jax_platforms=cpu deselects
+    # it, its client threads occasionally SIGABRT mid-suite (observed as
+    # intermittent "Fatal Python error: Aborted" with no Python-level
+    # cause).  Stripping its sys.path entry before the first jax import
+    # prevents plugin discovery altogether.
+    sys.path[:] = [p for p in sys.path if ".axon_site" not in p]
+    os.environ.pop("JAX_PLATFORMS", None)
+
     _flags = os.environ.get("XLA_FLAGS", "")
     if "host_platform_device_count" not in _flags:
         os.environ["XLA_FLAGS"] = (
