@@ -8,9 +8,13 @@ stderr.
 
 ``vs_baseline``: the reference publishes no numbers (BASELINE.md), so the
 ratio is reported against the memory-bandwidth speed-of-light of the chip we
-run on (fraction of peak HBM bandwidth achieved by the matvec, using the
-compulsory-traffic model: x read + diag read + mask read + out write =
-13 B/cell in f32).  >1 is impossible; higher is better.
+run on, under the CLASSICAL traffic accounting for this operator (x read +
+f32 diag read + mask read + out write = 13 B/cell) — i.e. matvecs/second
+normalised by the uncompressed operator's compulsory bytes.  The kernel
+actually streams a compressed operator (bf16 signed-count geometry,
+10 B/cell — ops/stencil.py), so values above 1.0 are possible in principle
+(up to 1.3): they would mean the matvec runs faster than an uncompressed
+stream could.  Higher is better.
 """
 
 import json

@@ -70,6 +70,61 @@ def weighted_degree(active, w, periodic, dtype):
     return neighbor_sum(active.astype(dtype), w, periodic)
 
 
+# ---------------------------------------------------------------------------
+# Packed operator geometry.  For ISOTROPIC spacing (w0 == w1 == w2 — every
+# production configuration; the reference's sample and bench volumes are
+# unit cells), a free cell's diagonal is w * (total active-neighbour count
+# 1..6), so ONE signed int8 per cell carries the whole operator geometry:
+#
+#     code =  n_active_neighbours   on free rows (> 0 always: free rows are
+#                                   connected by construction)
+#     code = -1                     on every other row
+#
+# decode: free = code > 0; diag = max(code, 0) * w.  The stream is BF16
+# (2 B): small integer counts are exact there and the in-kernel decode is
+# one native bf16->f32 extend + max + multiply.  This replaces the f32
+# diagonal (4 B) + int8 free mask (1 B) streams: the fused matvec drops
+# from 13 to 10 B/cell of compulsory HBM traffic, the Jacobi sweep from 17
+# to 14.  (Two rejected variants, both measured: int8 bit-packed per-axis
+# counts destroy the Mosaic lowering — 335 s compiles, 127 GB/s at 256^3 —
+# and int8 signed counts fail to lower at all: vector cmpi on i8.)
+# ANISOTROPIC spacing instead stores an explicit diagonal array
+# (StencilSystem.diag_full) and runs the XLA path.
+# ---------------------------------------------------------------------------
+
+
+def neighbor_count(active, periodic):
+    """Total active-neighbour count (0..6) per cell, int8."""
+    ap = pad_halo(active.astype(jnp.int8), periodic)
+    sl = [slice(1, -1)] * 3
+    total = None
+    for ax in range(3):
+        lo, hi = list(sl), list(sl)
+        lo[ax] = slice(0, -2)
+        hi[ax] = slice(2, None)
+        cnt = ap[tuple(lo)] + ap[tuple(hi)]
+        total = cnt if total is None else total + cnt
+    return total
+
+
+def pack_code(nsum, free):
+    """Signed-count packing: free ? nsum : -1 (see module comment)."""
+    return jnp.where(free, nsum.astype(jnp.bfloat16),
+                     jnp.asarray(-1, jnp.bfloat16))
+
+
+def decode_code(code, w, dtype):
+    """(diag, free) from the packed geometry; fuses into consuming XLA ops
+    (1 B/cell read instead of 5).  Isotropic-w packing only."""
+    free = code > 0
+    diag = jnp.maximum(code, 0).astype(dtype) * jnp.asarray(w[0], dtype)
+    return diag, free
+
+
+def uniform_w(w) -> bool:
+    return w[0] == w[1] == w[2]
+
+
 import os as _os
 
 _PALLAS_MODE = _os.environ.get("OPENIMPALA_PALLAS", "auto")  # auto|1|0
@@ -94,12 +149,18 @@ def apply_restricted_xla(x, diag, free, w, periodic):
 
 
 def apply_restricted(x, diag, free, w, periodic):
-    """Action of the free-set operator: ``free ? diag*x - sum w x_nbr : 0``.
+    """Action of the free-set operator with EXPLICIT (diag, free) arrays —
+    the legacy/probe form, always XLA.  Production paths carry the packed
+    geometry instead: see ``apply_code`` (kernel-dispatched)."""
+    return apply_restricted_xla(x, diag, free, w, periodic)
+
+
+def apply_code(x, code, w, periodic):
+    """Action of the free-set operator from the packed geometry.
 
     Dispatches to the fused Pallas TPU kernel (ops/stencil_pallas.py) when
-    the layout contract holds; the XLA expression below is the reference
-    implementation and covers every other case (CPU tests, float64 outer
-    residuals, odd shapes).
+    the layout contract holds; the decode+XLA expression covers every other
+    case (CPU tests, float64 outer residuals, odd shapes).
     """
     if _PALLAS_MODE != "0":
         from . import stencil_pallas
@@ -107,35 +168,31 @@ def apply_restricted(x, diag, free, w, periodic):
         if stencil_pallas.supports_v3(x.shape, x.dtype, has_r=False):
             # v3 rolling-window engine: in-kernel X halo (no pad copy)
             return stencil_pallas.fused_stencil_pallas(
-                "matvec", x, None, jnp.asarray(diag), free, w, periodic
+                "matvec", x, None, code, w, periodic
             )
-        if stencil_pallas.supports(x.shape, x.dtype, periodic):
-            return stencil_pallas.stencil_matvec_pallas(
-                x, jnp.asarray(diag), free, w, periodic
-            )
+    diag, free = decode_code(code, w, x.dtype)
     return apply_restricted_xla(x, diag, free, w, periodic)
 
 
-def apply_with_dot(x, diag, free, w, periodic):
+def apply_code_with_dot(x, code, w, periodic):
     """``(A x, <x, A x>)`` with the reduction fused into the stencil pass.
 
     On TPU the v3 kernel accumulates the dot in-kernel (saves re-reading
-    x and Ax from HBM for CG's p.Ap — 8 of the 21 B/cell of that step).
+    x and Ax from HBM for CG's p.Ap — 8 of the 17 B/cell of that step).
     """
     if _PALLAS_MODE != "0":
         from . import stencil_pallas
 
         if stencil_pallas.supports_v3(x.shape, x.dtype, has_r=False):
             out, dot = stencil_pallas.fused_stencil_pallas(
-                "matvec", x, None, jnp.asarray(diag), free, w, periodic,
-                with_dot=True,
+                "matvec", x, None, code, w, periodic, with_dot=True,
             )
             return out, dot.astype(x.dtype)
-    ax = apply_restricted(x, diag, free, w, periodic)
+    ax = apply_code(x, code, w, periodic)
     return ax, jnp.sum(x * ax)
 
 
-def smooth_sweep(x, r, diag, free, w, periodic, omega: float):
+def smooth_sweep(x, r, code, w, periodic, omega: float):
     """One damped-Jacobi sweep ``x + (omega/diag)*(r - A x)`` (free & diag>0;
     else x), fused into a single rolling-window pass on TPU."""
     if _PALLAS_MODE != "0":
@@ -143,19 +200,18 @@ def smooth_sweep(x, r, diag, free, w, periodic, omega: float):
 
         if stencil_pallas.supports_v3(x.shape, x.dtype, has_r=True):
             return stencil_pallas.fused_stencil_pallas(
-                "sweep", x, r, jnp.asarray(diag), free, w, periodic,
-                omega=omega,
+                "sweep", x, r, code, w, periodic, omega=omega,
             )
-    diag_b = jnp.broadcast_to(jnp.asarray(diag), x.shape).astype(x.dtype)
+    diag, free = decode_code(code, w, x.dtype)
     inv_d = jnp.where(
-        free & (diag_b > 0),
-        jnp.asarray(omega, x.dtype) / jnp.where(diag_b > 0, diag_b, 1.0),
+        free & (diag > 0),
+        jnp.asarray(omega, x.dtype) / jnp.where(diag > 0, diag, 1.0),
         jnp.zeros((), x.dtype),
     )
     return x + inv_d * (r - apply_restricted_xla(x, diag, free, w, periodic))
 
 
-def residual_restricted(x, r, diag, free, w, periodic):
+def residual_restricted(x, r, code, w, periodic):
     """``free ? r - A x : 0`` fused into one pass (the V-cycle restriction
     input)."""
     if _PALLAS_MODE != "0":
@@ -163,13 +219,14 @@ def residual_restricted(x, r, diag, free, w, periodic):
 
         if stencil_pallas.supports_v3(x.shape, x.dtype, has_r=True):
             return stencil_pallas.fused_stencil_pallas(
-                "resid", x, r, jnp.asarray(diag), free, w, periodic
+                "resid", x, r, code, w, periodic
             )
+    diag, free = decode_code(code, w, x.dtype)
     return jnp.where(free, r - apply_restricted_xla(x, diag, free, w, periodic),
                      jnp.zeros((), x.dtype))
 
 
-def residual_restrict(x, r, diag, free, w, periodic):
+def residual_restrict(x, r, code, w, periodic):
     """The V-cycle's restriction input in ONE fused pass:
 
         rc = blocksum_2x2x2( free ? r - A x : 0 )
@@ -183,8 +240,9 @@ def residual_restrict(x, r, diag, free, w, periodic):
         if stencil_pallas.supports_v3(x.shape, x.dtype, has_r=True,
                                       restrict_=True):
             return stencil_pallas.fused_stencil_pallas(
-                "restrict", x, r, jnp.asarray(diag), free, w, periodic
+                "restrict", x, r, code, w, periodic
             )
+    diag, free = decode_code(code, w, x.dtype)
     resid = jnp.where(free, r - apply_restricted_xla(x, diag, free, w, periodic),
                       jnp.zeros((), x.dtype))
     for axis in (2, 1, 0):
@@ -212,21 +270,44 @@ class StencilSystem:
     (``TortuosityHypre.cpp:686-688``) is reproduced with ``b_norm``.
     """
 
-    diag: jax.Array  # diagonal on active cells (array, or scalar 0-d array)
-    free: jax.Array  # bool: rows being solved
+    code: jax.Array  # bf16 signed-count geometry (free ? nsum : -1)
     x_forced: jax.Array  # forced values (Dirichlet / zeros); 0 on free cells
     r0_b: jax.Array  # b_full restricted to free rows (before x_forced fold-in)
     b_norm: jax.Array  # ||b_full||_2 (Hypre-compatible denominator)
     w: tuple = dataclasses.field(metadata=dict(static=True))
     periodic: tuple = dataclasses.field(metadata=dict(static=True))
+    # explicit diagonal, ONLY for anisotropic spacing (the signed-count
+    # packing cannot represent per-axis weights); None selects the packed
+    # kernel path
+    diag_full: jax.Array | None = None
+
+    @property
+    def free(self):
+        """bool rows-being-solved mask, decoded from the packed geometry
+        (fuses into consuming ops; never stored)."""
+        return self.code > 0
+
+    @property
+    def diag(self):
+        """Diagonal in the system's storage dtype.  Meaningful only under
+        ``free`` (as in the kernels)."""
+        if self.diag_full is not None:
+            return self.diag_full
+        return decode_code(self.code, self.w, self.r0_b.dtype)[0]
 
     def apply(self, x):
-        return apply_restricted(x, self.diag, self.free, self.w, self.periodic)
+        if self.diag_full is not None:
+            return apply_restricted_xla(x, self.diag_full.astype(x.dtype),
+                                        self.free, self.w, self.periodic)
+        return apply_code(x, self.code, self.w, self.periodic)
 
     def apply_with_dot(self, x):
         """(A x, <x, A x>) — the CG matvec with its curvature reduction
         fused into the same kernel pass on TPU."""
-        return apply_with_dot(x, self.diag, self.free, self.w, self.periodic)
+        if self.diag_full is not None:
+            ax = self.apply(x)
+            return ax, jnp.sum(x * ax)
+        return apply_code_with_dot(x, self.code, self.w, self.periodic)
 
     def initial_residual(self, x0_free):
         """r0 for the Krylov solve starting at z = x0_free (on free set)."""
@@ -239,21 +320,23 @@ class StencilSystem:
         """Like apply() but without zeroing non-free rows' neighbour reads:
         identical expression — apply() already reads neighbours from the full
         array; kept for clarity at call sites."""
-        return apply_restricted(x, self.diag, self.free, self.w, self.periodic)
+        return self.apply(x)
 
     def assemble_solution(self, z):
         return self.x_forced + jnp.where(self.free, z, jnp.zeros((), z.dtype))
 
     def astype(self, dtype) -> "StencilSystem":
         """Cast the float fields (for the float32 inner solve of iterative
-        refinement).  The diagonal is a small integer multiple of the stencil
-        weights, exactly representable in float32 for unit spacing."""
+        refinement); the packed bf16 geometry is dtype-free.  The decoded
+        diagonal is a small integer multiple of the stencil weights, exactly
+        representable in float32 for unit spacing."""
         return dataclasses.replace(
             self,
-            diag=self.diag.astype(dtype),
             x_forced=self.x_forced.astype(dtype),
             r0_b=self.r0_b.astype(dtype),
             b_norm=self.b_norm.astype(dtype),
+            diag_full=(None if self.diag_full is None
+                       else self.diag_full.astype(dtype)),
         )
 
 
@@ -295,14 +378,14 @@ def make_tortuosity_system(
     n = shape[direction]
     hi = n - 1 if hi_plane is None else int(hi_plane)
 
-    diag = weighted_degree(active, w, periodic, dtype)
+    nsum = neighbor_count(active, periodic)
     # Safety decouple: an active cell with NO active neighbours becomes an
     # identity row with rhs 0 — and this happens BEFORE the Dirichlet
     # overwrite (TortuosityHypreFill.F90:172-181 `cycle`s), so an isolated
     # cell on the inlet plane is decoupled, not forced to vlo.  Such cells
     # are also never referenced by any other row (isolation is mutual), so
     # treating them as inactive is exact.
-    connected = active & (diag > 0)
+    connected = active & (nsum > 0)
 
     idx = jnp.arange(n)
     idx = idx.reshape([-1 if a == direction else 1 for a in range(3)])
@@ -310,6 +393,9 @@ def make_tortuosity_system(
     on_hi = (idx == hi) & connected
     dirichlet = on_lo | on_hi
     free = connected & ~dirichlet
+    code = pack_code(nsum, free)
+    diag_full = (None if uniform_w(w)
+                 else weighted_degree(active, w, periodic, dtype))
 
     x_forced = jnp.where(on_lo, dtype(vlo), jnp.zeros(shape, dtype))
     x_forced = jnp.where(on_hi, dtype(vhi), x_forced)
@@ -324,8 +410,8 @@ def make_tortuosity_system(
     b_norm = jnp.sqrt(vlo * vlo * n_lo + vhi * vhi * n_hi)
 
     return StencilSystem(
-        diag=diag, free=free, x_forced=x_forced, r0_b=r0_b, b_norm=b_norm,
-        w=w, periodic=periodic,
+        code=code, x_forced=x_forced, r0_b=r0_b, b_norm=b_norm,
+        w=w, periodic=periodic, diag_full=diag_full,
     )
 
 
@@ -348,8 +434,12 @@ def make_cell_problem_system(
 
     # diagonal: every face contributes w_f whether or not the neighbour is
     # active (interface faces add to the diagonal only) —
-    # EffDiffFillMtx.F90:156-221.
-    diag = jnp.asarray(2.0 * (w[0] + w[1] + w[2]), dtype)
+    # EffDiffFillMtx.F90:156-221.  Packed form: total count 6 everywhere;
+    # the decoded diagonal is only read under ``free``.
+    code = jnp.where(active, jnp.asarray(6, jnp.bfloat16),
+                     jnp.asarray(-1, jnp.bfloat16))
+    diag_full = (None if uniform_w(w)
+                 else jnp.asarray(2.0 * (w[0] + w[1] + w[2]), dtype))
 
     m = active.astype(dtype)
     mp = pad_halo(m, periodic)
@@ -368,10 +458,9 @@ def make_cell_problem_system(
     rhs = jnp.where(active, rhs, jnp.zeros((), dtype))
 
     b_norm = jnp.sqrt(jnp.sum(rhs * rhs))
-    free = active
     return StencilSystem(
-        diag=diag, free=free, x_forced=jnp.zeros((), dtype), r0_b=rhs,
-        b_norm=b_norm, w=w, periodic=periodic,
+        code=code, x_forced=jnp.zeros((), dtype), r0_b=rhs,
+        b_norm=b_norm, w=w, periodic=periodic, diag_full=diag_full,
     )
 
 

@@ -344,9 +344,14 @@ def _fused_kernel_v3(*refs, w, periodic_x, periodic_yz, n_planes, xr, dr,
     # x_ref holds the UNPADDED volume: the X halo is handled in-kernel
     # (wrap-indexed fetches on periodic X, zero-filled window slots on
     # clamped X) — the jnp.pad copy this replaces cost ~8 B/cell per call.
+    #
+    # code_ref packs the operator's static geometry per cell in one bf16
+    # signed count (free ? n_active_neighbours : -1).  The diagonal is
+    # decoded in-kernel as w * count — the f32 diag + int8 free streams
+    # this replaces cost 5 B/cell of HBM traffic; the packed code costs 2.
     sz_ref = None
     if mode == "matvec":
-        (x_ref, diag_ref, free_ref), out_refs = refs[:3], refs[3:]
+        (x_ref, code_ref), out_refs = refs[:2], refs[2:]
         r_ref = None
     elif mode == "restrict":
         # resid + full 2x2x2 block-sum restriction in one pass: the output
@@ -354,13 +359,13 @@ def _fused_kernel_v3(*refs, w, periodic_x, periodic_yz, n_planes, xr, dr,
         # reshape-sum, Z (lane) pairs via a small MXU matmul with the
         # (Z, Z/2) pair-selection matrix, X pairs by accumulating plane
         # pairs in the output ring.
-        (x_ref, r_ref, diag_ref, free_ref, sz_ref), out_refs = refs[:5], refs[5:]
+        (x_ref, r_ref, code_ref, sz_ref), out_refs = refs[:4], refs[4:]
     else:
-        (x_ref, r_ref, diag_ref, free_ref), out_refs = refs[:4], refs[4:]
+        (x_ref, r_ref, code_ref), out_refs = refs[:3], refs[3:]
     out_ref = out_refs[0]
     acc_ref = out_refs[1] if with_dot else None
 
-    def body(xbuf, rbuf, dbuf, fbuf, obuf, xsem, rsem, dsem, fsem, osem):
+    def body(xbuf, rbuf, cbuf, obuf, xsem, rsem, csem, osem):
         def i32(v):
             return np.int32(v) if isinstance(v, int) else v
 
@@ -422,8 +427,7 @@ def _fused_kernel_v3(*refs, w, periodic_x, periodic_yz, n_planes, xr, dr,
         for jj in range(-1, min(xr - 2, n + 1)):
             start_x(jj, (jj + 1) % xr)
         for kk in range(min(dr - 1, n)):
-            fetch(diag_ref, dbuf, dsem, kk, kk).start()
-            fetch(free_ref, fbuf, fsem, kk, kk).start()
+            fetch(code_ref, cbuf, csem, kk, kk).start()
             if has_r:
                 fetch(r_ref, rbuf, rsem, kk, kk).start()
         wait_x(-1, 0)
@@ -446,14 +450,12 @@ def _fused_kernel_v3(*refs, w, periodic_x, periodic_yz, n_planes, xr, dr,
 
             @pl.when(lax.lt(kpdr, c(n)))
             def _():
-                fetch(diag_ref, dbuf, dsem, kpdr, s_kdr).start()
-                fetch(free_ref, fbuf, fsem, kpdr, s_kdr).start()
+                fetch(code_ref, cbuf, csem, kpdr, s_kdr).start()
                 if has_r:
                     fetch(r_ref, rbuf, rsem, kpdr, s_kdr).start()
 
             wait_x(kp1, s_hi)
-            fetch(diag_ref, dbuf, dsem, k, s_kd).wait()
-            fetch(free_ref, fbuf, fsem, k, s_kd).wait()
+            fetch(code_ref, cbuf, csem, k, s_kd).wait()
             if has_r:
                 fetch(r_ref, rbuf, rsem, k, s_kd).wait()
 
@@ -465,16 +467,22 @@ def _fused_kernel_v3(*refs, w, periodic_x, periodic_yz, n_planes, xr, dr,
             xlo = xbuf[s_lo]
             xm = xbuf[s_mid]
             xhi = xbuf[s_hi]
-            ax = dbuf[s_kd] * xm - (w[0] * (xlo + xhi)
-                                    + _yz_neighbor_sum(xm, w, periodic_yz))
-            free = fbuf[s_kd] != 0
+            # signed-count decode (ops/stencil.py pack_code): code > 0 on
+            # free rows carrying the neighbour count, -1 elsewhere.  The
+            # bf16 stream extends to f32 natively; everything after is
+            # plain f32 VPU work (int8 variants do not lower — see
+            # ops/stencil.py module comment).
+            cf = cbuf[s_kd].astype(xm.dtype)
+            free = cf > 0
+            d = jnp.maximum(cf, 0) * xm.dtype.type(w[0])
+            ax = d * xm - (w[0] * (xlo + xhi)
+                           + _yz_neighbor_sum(xm, w, periodic_yz))
             zero = jnp.zeros((), xm.dtype)
             if mode == "matvec":
                 plane = jnp.where(free, ax, zero)
             elif mode in ("resid", "restrict"):
                 plane = jnp.where(free, rbuf[s_kd] - ax, zero)
             else:  # sweep
-                d = dbuf[s_kd]
                 inv_d = jnp.where(free & (d > 0),
                                   omega / jnp.where(d > 0, d, 1.0), zero)
                 plane = xm + inv_d * (rbuf[s_kd] - ax)
@@ -524,13 +532,11 @@ def _fused_kernel_v3(*refs, w, periodic_x, periodic_yz, n_planes, xr, dr,
         body,
         xbuf=pltpu.VMEM((xr, Y, Z), dtype),
         rbuf=pltpu.VMEM((r_slots, Y, Z), dtype),
-        dbuf=pltpu.VMEM((dr, Y, Z), dtype),
-        fbuf=pltpu.VMEM((dr, Y, Z), jnp.int8),
+        cbuf=pltpu.VMEM((dr, Y, Z), jnp.bfloat16),
         obuf=pltpu.VMEM(oshape, dtype),
         xsem=pltpu.SemaphoreType.DMA((xr,)),
         rsem=pltpu.SemaphoreType.DMA((r_slots,)),
-        dsem=pltpu.SemaphoreType.DMA((dr,)),
-        fsem=pltpu.SemaphoreType.DMA((dr,)),
+        csem=pltpu.SemaphoreType.DMA((dr,)),
         osem=pltpu.SemaphoreType.DMA((dr,)),
     )
 
@@ -538,8 +544,9 @@ def _fused_kernel_v3(*refs, w, periodic_x, periodic_yz, n_planes, xr, dr,
 def _rings_for_v3(plane_bytes: int, has_r: bool):
     """Ring sizes fitting the v3 VMEM budget (one extra ring when r streams)."""
     for xr, dr in ((8, 4), (6, 3), (5, 2), (4, 2)):
-        n_f32_rings = 2 + (1 if has_r else 0)  # d + out (+ r), each dr slots
-        vmem = (xr + n_f32_rings * dr) * plane_bytes + dr * (plane_bytes // 4)
+        n_f32_rings = 1 + (1 if has_r else 0)  # out (+ r), each dr slots
+        # + the packed bf16 code ring (plane_bytes/2 per slot)
+        vmem = (xr + n_f32_rings * dr) * plane_bytes + dr * (plane_bytes // 2)
         if vmem < 11 * 1024 * 1024:
             return xr, dr
     return None
@@ -746,19 +753,26 @@ def fused_conductance_pallas(mode, x, r, cx, cy, cz, diag, omega: float = 0.9,
 
 @functools.partial(jax.jit, static_argnames=("mode", "w", "periodic", "omega",
                                              "with_dot", "interpret"))
-def fused_stencil_pallas(mode, x, r, diag, free, w, periodic,
+def fused_stencil_pallas(mode, x, r, code, w, periodic,
                          omega: float = 0.9, with_dot: bool = False,
                          interpret: bool = False):
-    """Run the v3 engine: mode in {"matvec", "resid", "sweep"}.
+    """Run the v3 engine: mode in {"matvec", "resid", "sweep", "restrict"}.
 
     ``x`` is the windowed field (p for matvec, the iterate for sweep/resid);
-    ``r`` the streamed right-hand side (ignored for matvec, pass None).
-    Returns out, or (out, dot) when ``with_dot`` (matvec only).
+    ``r`` the streamed right-hand side (ignored for matvec, pass None);
+    ``code`` the packed bf16 signed-count geometry (ops/stencil.py
+    pack_code) — the kernel decodes the diagonal as w * count, so no f32
+    diagonal or separate free mask ever crosses HBM.  Returns out, or
+    (out, dot) when ``with_dot`` (matvec).
     """
     X, Y, Z = x.shape
     dtype = x.dtype
-    diag_full = jnp.broadcast_to(jnp.asarray(diag, dtype), x.shape)
-    free8 = free.astype(jnp.int8)
+    if not (w[0] == w[1] == w[2]):
+        raise ValueError(
+            "signed-count packed kernels require isotropic spacing; "
+            "anisotropic systems carry diag_full and take the XLA path"
+        )
+    code16 = code.astype(jnp.bfloat16)
     has_r = mode != "matvec"
     xr, dr = _rings_for_v3(Y * Z * 4, has_r)
     kernel = functools.partial(
@@ -773,8 +787,8 @@ def fused_stencil_pallas(mode, x, r, diag, free, w, periodic,
     if with_dot:
         out_shape.append(jax.ShapeDtypeStruct((1, 1), jnp.float32))
         out_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
-    bytes_cell = 13 + (4 if has_r else 0)
-    inputs = [x, r, diag_full, free8] if has_r else [x, diag_full, free8]
+    bytes_cell = 10 + (4 if has_r else 0)
+    inputs = [x, r, code16] if has_r else [x, code16]
     in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * len(inputs)
     if mode == "restrict":
         # (Z, Z/2) lane-pair selection matrix for the in-kernel Z block-sum

@@ -17,8 +17,10 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.stencil import (
+    apply_code,
     apply_restricted,
     apply_restricted_xla,
+    decode_code,
     residual_restrict,
     residual_restricted,
     smooth_sweep,
@@ -127,20 +129,61 @@ class ChebyshevPreconditioner:
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class MGLevel:
-    diag: jax.Array  # per-cell diagonal (or scalar 0-d) on this level
-    free: jax.Array
+    code: jax.Array  # signed-count bf16 geometry (ops/stencil.py pack_code)
     w: tuple = dataclasses.field(metadata=dict(static=True))
     periodic: tuple = dataclasses.field(metadata=dict(static=True))
+    diag_full: jax.Array | None = None  # anisotropic spacing only
+
+    def decode(self, dtype):
+        if self.diag_full is not None:
+            return (jnp.broadcast_to(self.diag_full, self.code.shape)
+                    .astype(dtype), self.free)
+        return decode_code(self.code, self.w, dtype)
+
+    @property
+    def free(self):
+        return self.code > 0
 
     def apply(self, x):
-        return apply_restricted(x, self.diag, self.free, self.w, self.periodic)
+        if self.diag_full is None:
+            return apply_code(x, self.code, self.w, self.periodic)
+        return self.apply_xla(x)
 
     def apply_xla(self, x):
         # Pallas-free form: the TPU runtime crashes when the Pallas stencil
         # kernel is dispatched from nested control flow (smoother fori_loop
         # inside the Krylov while_loop at 512^3) — smoothing pins XLA.
-        return apply_restricted_xla(x, self.diag, self.free, self.w,
-                                    self.periodic)
+        diag, free = self.decode(x.dtype)
+        return apply_restricted_xla(x, diag, free, self.w, self.periodic)
+
+    def sweep(self, x, r, omega: float):
+        """One damped-Jacobi sweep, kernel-fused on the packed path."""
+        if self.diag_full is None:
+            return smooth_sweep(x, r, self.code, self.w, self.periodic, omega)
+        diag, free = self.decode(x.dtype)
+        inv_d = jnp.where(free & (diag > 0),
+                          jnp.asarray(omega, x.dtype)
+                          / jnp.where(diag > 0, diag, 1.0),
+                          jnp.zeros((), x.dtype))
+        return x + inv_d * (r - self.apply_xla(x))
+
+    def resid(self, x, r):
+        """free ? r - A x : 0 (one fused pass on the packed path)."""
+        if self.diag_full is None:
+            return residual_restricted(x, r, self.code, self.w, self.periodic)
+        _, free = self.decode(x.dtype)
+        return jnp.where(free, r - self.apply_xla(x), jnp.zeros((), x.dtype))
+
+    def resid_restrict(self, x, r):
+        """blocksum_2x2x2(free ? r - A x : 0) (fused on the packed path)."""
+        if self.diag_full is None:
+            return residual_restrict(x, r, self.code, self.w, self.periodic)
+        resid = self.resid(x, r)
+        for axis in (2, 1, 0):
+            shape = list(resid.shape)
+            shape[axis:axis + 1] = [shape[axis] // 2, 2]
+            resid = resid.reshape(shape).sum(axis=axis + 1)
+        return resid
 
 
 def _can_coarsen(shape):
@@ -396,10 +439,8 @@ class GalerkinMGPreconditioner:
 
     @classmethod
     def from_system(cls, system, max_levels: int = 16, **kw):
-        fine = MGLevel(
-            diag=system.diag, free=system.free, w=system.w,
-            periodic=system.periodic,
-        )
+        fine = MGLevel(code=system.code, w=system.w, periodic=system.periodic,
+                       diag_full=system.diag_full)
         # jit each construction step: built eagerly the op-by-op dispatches
         # take ~85 s through a tunnelled TPU runtime at 512^3
         levels = []
@@ -472,13 +513,13 @@ class GalerkinMGPreconditioner:
         remote TPU runtime in round 1)."""
         fine = self.fine
         if self.smoother == "cheby":
-            diag = jnp.broadcast_to(fine.diag, r.shape).astype(r.dtype)
+            diag, free = fine.decode(r.dtype)
             x0 = jnp.zeros_like(r) if x is None else x
-            return self._smooth_cheby(fine.apply, diag, fine.free, x0, r, n)
+            return self._smooth_cheby(fine.apply, diag, free, x0, r, n)
         if x is None:
-            diag = jnp.broadcast_to(fine.diag, r.shape).astype(r.dtype)
+            diag, free = fine.decode(r.dtype)
             inv_d = jnp.where(
-                fine.free & (diag > 0),
+                free & (diag > 0),
                 jnp.asarray(self.omega, r.dtype)
                 / jnp.where(diag > 0, diag, jnp.ones((), r.dtype)),
                 jnp.zeros((), r.dtype),
@@ -486,29 +527,25 @@ class GalerkinMGPreconditioner:
             x = inv_d * r
             n -= 1
         for _ in range(n):
-            x = smooth_sweep(x, r, fine.diag, fine.free, fine.w,
-                             fine.periodic, self.omega)
+            x = fine.sweep(x, r, self.omega)
         return x
 
     def _vcycle(self, idx: int, r):
         # idx 0 = fine (MGLevel); idx >= 1 = self.levels[idx-1]
         if idx == 0:
             if not self.levels:  # volume too small to coarsen at all
-                diag = jnp.broadcast_to(self.fine.diag, r.shape).astype(r.dtype)
-                return self._smooth(self.fine.apply_xla, diag, self.fine.free,
+                diag, free = self.fine.decode(r.dtype)
+                return self._smooth(self.fine.apply_xla, diag, free,
                                     jnp.zeros_like(r), r, self.coarse_sweeps)
             x = self._fine_smooth(None, r, self.nu1)
             if self.transfer == "tri":
-                resid = residual_restricted(x, r, self.fine.diag,
-                                            self.fine.free, self.fine.w,
-                                            self.fine.periodic)
+                resid = self.fine.resid(x, r)
                 rc = _restrict_tri(resid, self.fine.periodic)
             else:
                 # rc = blocksum(free ? r - A x : 0), one fused pass (R=P^T).
                 # No coarse-free masking needed: resid vanishes on non-free
                 # fine cells and non-free coarse cells have inv_d = 0.
-                rc = residual_restrict(x, r, self.fine.diag, self.fine.free,
-                                       self.fine.w, self.fine.periodic)
+                rc = self.fine.resid_restrict(x, r)
             ec = self._vcycle(1, rc)
             x = x + jnp.where(self.fine.free, self._prolong(ec),
                               jnp.zeros((), r.dtype))
@@ -629,27 +666,36 @@ class MultigridPreconditioner:
 
     @classmethod
     def from_system(cls, system, max_levels: int = 10, **kw):
-        dtype = system.r0_b.dtype
-        diag_is_scalar = jnp.ndim(system.diag) == 0
-        levels = [MGLevel(diag=system.diag, free=system.free, w=system.w,
-                          periodic=system.periodic)]
+        from ..ops.stencil import neighbor_count, pack_code, uniform_w
+
+        periodic_cell = bool(system.periodic[0])  # cell problem: all-periodic
+        levels = [MGLevel(code=system.code, w=system.w,
+                          periodic=system.periodic,
+                          diag_full=system.diag_full)]
         free = system.free
         w = system.w
+        dtype = system.r0_b.dtype
         while len(levels) < max_levels and _can_coarsen(free.shape):
             free = _coarsen_free(free)
             w = tuple(wi / 4.0 for wi in w)  # dx doubles
-            if diag_is_scalar:
-                diag = jnp.asarray(2.0 * sum(w), dtype)
+            if periodic_cell:
+                code = jnp.where(free, jnp.asarray(6, jnp.bfloat16),
+                                 jnp.asarray(-1, jnp.bfloat16))
+                diag_full = (None if uniform_w(w)
+                             else jnp.asarray(2.0 * sum(w), dtype))
             else:
-                diag = weighted_degree(free, w, system.periodic, dtype)
-            levels.append(MGLevel(diag=diag, free=free, w=w,
-                                  periodic=system.periodic))
+                # rediscretise: count free neighbours on the coarse mask
+                code = pack_code(neighbor_count(free, system.periodic), free)
+                diag_full = (None if uniform_w(w) else weighted_degree(
+                    free, w, system.periodic, dtype))
+            levels.append(MGLevel(code=code, w=w, periodic=system.periodic,
+                                  diag_full=diag_full))
         return cls(levels=tuple(levels), **kw)
 
     def _smooth(self, level: MGLevel, x, r, n: int):
-        diag = jnp.broadcast_to(level.diag, r.shape).astype(r.dtype)
+        diag, free = level.decode(r.dtype)
         inv_d = jnp.where(
-            level.free & (diag > 0),
+            free & (diag > 0),
             jnp.asarray(self.omega, r.dtype) / jnp.where(diag > 0, diag, 1.0),
             jnp.zeros((), r.dtype),
         )

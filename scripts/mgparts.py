@@ -19,12 +19,12 @@ t0=time.time(); y = jax.jit(_prolong)(xc); print(float(y[0,0,0])); log(f"prolong
 rng = np.random.default_rng(0)
 active = rng.random((n,n,n)) < 0.6
 system = make_tortuosity_system(jnp.asarray(active), 0, -1.0, 1.0, dtype=jnp.float32)
-level = MGLevel(diag=system.diag, free=system.free, w=system.w, periodic=system.periodic)
+level = MGLevel(code=system.code, w=system.w, periodic=system.periodic)
 r = jnp.where(system.free, jnp.ones((n,n,n), jnp.float32), 0.0)
 
 def smooth(level, r):
-    diag = jnp.broadcast_to(level.diag, r.shape).astype(r.dtype)
-    inv_d = jnp.where(level.free & (diag > 0), 0.8 / jnp.where(diag > 0, diag, 1.0), 0.0)
+    diag, free = level.decode(r.dtype)
+    inv_d = jnp.where(free & (diag > 0), 0.8 / jnp.where(diag > 0, diag, 1.0), 0.0)
     def body(i, x):
         return x + inv_d * (r - level.apply(x))
     return jax.lax.fori_loop(0, 2, body, jnp.zeros_like(r))

@@ -42,7 +42,7 @@ system = make_tortuosity_system(
 x0 = jnp.where(system.free, jnp.ones(phase.shape, jnp.float32), 0.0)
 
 W, PER = system.w, system.periodic
-args = (system.diag, system.free)
+args = (system.diag, system.free)  # decoded views (probe compares XLA forms)
 
 
 SUM = jax.jit(jnp.sum)

@@ -80,32 +80,28 @@ def timeit(name, fn, out0, iters=30, bytes_per_cell=None):
     return dt
 
 
-D, F = system.diag, system.free
+D, F, C = system.diag, system.free, system.code
 
 # NB: the big arrays must enter as jit ARGUMENTS — closed-over constants
 # embed the volume in the HLO and blow the remote-compile payload limit.
 
-# 1. v2 Pallas matvec
-f_v2 = jax.jit(lambda xx, d, f: sp.stencil_matvec_pallas_v2(xx, d, f, W, PER))
-timeit("pallas v2 matvec", lambda xx: f_v2(xx, D, F), x, bytes_per_cell=13)
-
-# 1b. v3 matvec with fused dot
+# 1b. v3 matvec with fused dot (bf16 signed-count operator stream)
 f_v3d = jax.jit(
-    lambda xx, d, f: sp.fused_stencil_pallas("matvec", xx, None, d, f, W, PER,
-                                             with_dot=True)[0])
-timeit("pallas v3 matvec+dot", lambda xx: f_v3d(xx, D, F), x, bytes_per_cell=13)
+    lambda xx, cc: sp.fused_stencil_pallas("matvec", xx, None, cc, W, PER,
+                                           with_dot=True)[0])
+timeit("pallas v3 matvec+dot", lambda xx: f_v3d(xx, C), x, bytes_per_cell=10)
 
 # 1c. v3 fused sweep / resid kernels
-f_v3s = jax.jit(lambda xx, rr, d, f: sp.fused_stencil_pallas(
-    "sweep", xx, rr, d, f, W, PER, omega=0.9))
-timeit("pallas v3 sweep", lambda xx: f_v3s(xx, r, D, F), x, bytes_per_cell=17)
-f_v3r = jax.jit(lambda xx, rr, d, f: sp.fused_stencil_pallas(
-    "resid", xx, rr, d, f, W, PER))
-timeit("pallas v3 resid", lambda xx: f_v3r(xx, r, D, F), x, bytes_per_cell=17)
+f_v3s = jax.jit(lambda xx, rr, cc: sp.fused_stencil_pallas(
+    "sweep", xx, rr, cc, W, PER, omega=0.9))
+timeit("pallas v3 sweep", lambda xx: f_v3s(xx, r, C), x, bytes_per_cell=14)
+f_v3r = jax.jit(lambda xx, rr, cc: sp.fused_stencil_pallas(
+    "resid", xx, rr, cc, W, PER))
+timeit("pallas v3 resid", lambda xx: f_v3r(xx, r, C), x, bytes_per_cell=14)
 
 # numerics: compiled kernels vs XLA on this device (catches miscompiles the
 # CPU interpreter cannot)
-got = np.asarray(f_v3s(x, r, D, F))
+got = np.asarray(f_v3s(x, r, C))
 inv_d = jnp.where(F & (D > 0), 0.9 / jnp.where(D > 0, D, 1.0), 0.0)
 want = np.asarray(x + inv_d * (r - apply_restricted_xla(x, D, F, W, PER)))
 err = np.abs(got - want).max()
@@ -113,13 +109,13 @@ log(f"sweep kernel max|err| vs xla: {err:.3e}")
 assert err < 1e-5
 
 # composition: 3 chained sweeps in ONE program (vs 3x the standalone time)
-f_s3 = jax.jit(lambda xx, rr, d, f: sp.fused_stencil_pallas(
+f_s3 = jax.jit(lambda xx, rr, cc: sp.fused_stencil_pallas(
     "sweep", sp.fused_stencil_pallas(
-        "sweep", sp.fused_stencil_pallas("sweep", xx, rr, d, f, W, PER,
+        "sweep", sp.fused_stencil_pallas("sweep", xx, rr, cc, W, PER,
                                          omega=0.9),
-        rr, d, f, W, PER, omega=0.9), rr, d, f, W, PER, omega=0.9))
-timeit("3 sweeps fused program", lambda xx: f_s3(xx, r, D, F), x,
-       bytes_per_cell=51)
+        rr, cc, W, PER, omega=0.9), rr, cc, W, PER, omega=0.9))
+timeit("3 sweeps fused program", lambda xx: f_s3(xx, r, C), x,
+       bytes_per_cell=42)
 
 # 2. XLA matvec
 f_xla = jax.jit(lambda xx, d, f: apply_restricted_xla(xx, d, f, W, PER))
@@ -174,8 +170,7 @@ def fine_stage(M_, rr):
     x = M_._fine_smooth(None, rr, M_.nu1)
     from openimpala_tpu.ops.stencil import residual_restricted as rres
 
-    resid = rres(x, rr, M_.fine.diag, M_.fine.free, M_.fine.w,
-                 M_.fine.periodic)
+    resid = rres(x, rr, M_.fine.code, M_.fine.w, M_.fine.periodic)
     rc = _blocksum(resid)
     rc = jnp.where(M_.levels[0].free, rc, 0.0)
     x = x + jnp.where(M_.fine.free, _prolong_pc(rc), 0.0)

@@ -107,19 +107,19 @@ def test_v3_modes_match_xla(shape, periodic_x, rng):
 
     ax = apply_restricted_xla(x, diag, system.free, W, PER)
 
-    out, dot = fused_stencil_pallas("matvec", x, None, diag, system.free,
+    out, dot = fused_stencil_pallas("matvec", x, None, system.code,
                                     W, PER, with_dot=True, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ax),
                                rtol=1e-5, atol=1e-5)
     assert float(dot) == pytest.approx(float(jnp.sum(ax * x)), rel=1e-4)
 
-    got = fused_stencil_pallas("resid", x, r, diag, system.free, W, PER,
+    got = fused_stencil_pallas("resid", x, r, system.code, W, PER,
                                interpret=True)
     want = jnp.where(system.free, r - ax, 0.0)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
 
-    got = fused_stencil_pallas("sweep", x, r, diag, system.free, W, PER,
+    got = fused_stencil_pallas("sweep", x, r, system.code, W, PER,
                                omega=0.9, interpret=True)
     inv_d = jnp.where(system.free & (diag > 0),
                       0.9 / jnp.where(diag > 0, diag, 1.0), 0.0)
@@ -183,7 +183,7 @@ def test_restrict_mode_matches_blocksum(shape, rng):
     want = np.asarray(resid).reshape(
         shape[0] // 2, 2, shape[1] // 2, 2, shape[2] // 2, 2
     ).sum(axis=(1, 3, 5))
-    got = fused_stencil_pallas("restrict", x, r, diag, system.free,
+    got = fused_stencil_pallas("restrict", x, r, system.code,
                                system.w, system.periodic, interpret=True)
     assert got.shape == (shape[0] // 2, shape[1] // 2, shape[2] // 2)
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
