@@ -50,10 +50,16 @@ def threshold_sharded(reader, thr: float, mesh, vtrue: int = 1,
     def _threshold(vals):
         return np.where(vals.astype(np.float64) > thr, vtrue, vfalse).astype(np.int8)
 
+    # multi-host: this process materialises shards ONLY for its own devices
+    # (the per-rank distributed read of the reference); other processes
+    # build theirs — make_array_from_single_device_arrays stitches the
+    # global array from everyone's addressable shards.
+    mine = [d for d in range(n)
+            if devices[d].process_index == jax.process_index()]
     shards = []
     if slab_axis == 0:
-        # hyperslab path: read exactly each device's X slab
-        for d in range(n):
+        # hyperslab path: read exactly each local device's X slab
+        for d in mine:
             x0, x1 = d * xloc, min((d + 1) * xloc, X)
             slab = np.full((xloc, Y, Z), PAD_FILL, np.int8)
             if x0 < X:
@@ -61,22 +67,22 @@ def threshold_sharded(reader, thr: float, mesh, vtrue: int = 1,
             shards.append(jax.device_put(slab, devices[d]))
     else:
         # streaming path: z (or whole-file) reads scattered into X buffers
-        buffers = [np.full((xloc, Y, Z), PAD_FILL, np.int8) for _ in range(n)]
+        buffers = {d: np.full((xloc, Y, Z), PAD_FILL, np.int8) for d in mine}
         if slab_axis == 2:
             for z0 in range(0, Z, chunk):
                 z1 = min(Z, z0 + chunk)
                 part = _threshold(reader.read(z0, z1))  # (X, Y, z1-z0)
-                for d in range(n):
+                for d in mine:
                     x0, x1 = d * xloc, min((d + 1) * xloc, X)
                     if x0 < X:
                         buffers[d][: x1 - x0, :, z0:z1] = part[x0:x1]
         else:
             full = _threshold(reader.read())
-            for d in range(n):
+            for d in mine:
                 x0, x1 = d * xloc, min((d + 1) * xloc, X)
                 if x0 < X:
                     buffers[d][: x1 - x0] = full[x0:x1]
-        shards = [jax.device_put(b, dev) for b, dev in zip(buffers, devices)]
+        shards = [jax.device_put(buffers[d], devices[d]) for d in mine]
 
     global_shape = (Xp, Y, Z)
     arr = jax.make_array_from_single_device_arrays(global_shape, sharding,

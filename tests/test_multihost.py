@@ -1,0 +1,86 @@
+"""Multi-host execution test: REAL multi-process JAX (2 processes x 4
+virtual CPU devices, localhost coordinator — the CPU stand-in for two
+DCN-connected TPU hosts) running the production sharded tortuosity driver,
+checked against the single-process result.
+
+The reference's counterpart is `mpirun -np N Diffusion inputs` on any rank
+count; here every process runs the same driver over the global mesh
+(parallel/multihost.py)."""
+
+import os
+import socket
+import subprocess
+import sys
+import textwrap
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WORKER = textwrap.dedent("""
+    import os, sys
+    sys.path[:] = [p for p in sys.path if ".axon_site" not in p]
+    sys.path.insert(0, {repo!r})
+    os.environ.pop("JAX_PLATFORMS", None)
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                               + " --xla_force_host_platform_device_count=4")
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    pid = int(sys.argv[1])
+    from openimpala_tpu.parallel import multihost
+    multihost.initialize(coordinator_address="localhost:" + sys.argv[2],
+                         num_processes=2, process_id=pid)
+    assert jax.process_count() == 2
+    assert len(jax.devices()) == 8
+    import numpy as np
+    rng = np.random.default_rng(5)
+    phase = (rng.random((48, 16, 16)) < 0.65).astype(np.int8)
+    phase[:, 8, 8] = 1
+    mesh = multihost.global_mesh()
+    from openimpala_tpu.props.tortuosity import tortuosity
+    r = tortuosity(phase, 1, 0, eps=1e-9, mesh=mesh,
+                   percolation_method="host")
+    if multihost.is_coordinator():
+        print(f"TAU {{r.value:.12f}} {{int(r.iterations)}}"
+              f" {{bool(r.converged)}}", flush=True)
+""")
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_solve_matches_single(tmp_path):
+    worker = tmp_path / "worker.py"
+    worker.write_text(WORKER.format(repo=REPO))
+    port = str(_free_port())
+    env = {k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"}
+
+    procs = [
+        subprocess.Popen([sys.executable, str(worker), str(pid), port],
+                         stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                         text=True, env=env, cwd=REPO)
+        for pid in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=240)
+        outs.append(out)
+        assert p.returncode == 0, f"worker failed:\n{out}"
+
+    tau_line = next(l for l in outs[0].splitlines() if l.startswith("TAU "))
+    _, tau, iters, conv = tau_line.split()
+    assert conv == "True"
+
+    # single-process reference on this process's virtual 8-device CPU mesh
+    rng = np.random.default_rng(5)
+    phase = (rng.random((48, 16, 16)) < 0.65).astype(np.int8)
+    phase[:, 8, 8] = 1
+    from openimpala_tpu.props.tortuosity import tortuosity
+
+    ref = tortuosity(phase, 1, 0, eps=1e-9, mesh=None,
+                     percolation_method="host")
+    assert float(tau) == pytest.approx(ref.value, rel=1e-7)

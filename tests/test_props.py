@@ -55,6 +55,36 @@ class TestTortuosity:
         assert math.isnan(r.value)
         assert r.active_vf == 0.0
 
+    def test_anisotropic_dx_matches_dense_oracle(self, blob_phase):
+        """Anisotropic spacing takes the explicit-diagonal (diag_full) path
+        (ops/stencil.py — the signed-count packing is isotropic-only); the
+        solved potential must match the independent dense assembly."""
+        import sys
+
+        sys.path.insert(0, os.path.dirname(__file__))
+        from reference_oracle import assemble_tortuosity_dense
+
+        dx = (1.0, 0.5, 2.0)
+        phase = np.asarray(blob_phase)
+        r = tortuosity(phase, 1, 0, eps=1e-12, dx=dx, inner_dtype=None,
+                       return_fields=True, mesh=None)
+        assert r.converged
+        from openimpala_tpu.ops.floodfill import percolation_mask
+
+        active, _ = percolation_mask(phase, 1, 0)
+        A, b, _ = assemble_tortuosity_dense(np.asarray(active), 0, -1.0, 1.0,
+                                            dx=dx)
+        x_direct = np.linalg.solve(A, b).reshape(phase.shape)
+        np.testing.assert_allclose(np.asarray(r.phi), x_direct, atol=1e-8)
+
+    def test_tau_invariant_under_uniform_dx(self, blob_phase):
+        """Tortuosity is dimensionless: scaling the (isotropic) voxel size
+        rescales fluxes and geometry consistently, leaving tau unchanged."""
+        phase = np.asarray(blob_phase)
+        a = tortuosity(phase, 1, 0, eps=1e-11, mesh=None)
+        b = tortuosity(phase, 1, 0, eps=1e-11, dx=(2.5, 2.5, 2.5), mesh=None)
+        assert a.value == pytest.approx(b.value, rel=1e-6)
+
     def test_flux_conservation_gate(self, blob_phase):
         r = tortuosity(blob_phase, 1, "X", precond="jacobi", inner_dtype=None)
         assert r.converged
