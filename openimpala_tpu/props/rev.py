@@ -131,7 +131,7 @@ def rev_study(
         # sequential same-shape crops amortise the compiled-program load
         # across many solves — exactly the regime where the W-cycle's 1.5x
         # iteration cut pays for its bigger program (preconditioners.py)
-        if precond == "auto" and "precond_opts" not in solve_kwargs:
+        if precond in ("auto", "gmg") and "precond_opts" not in solve_kwargs:
             solve_kwargs = dict(solve_kwargs, precond_opts={"cycle": "w"})
         for i, (s_no, size, lo, actual) in enumerate(boxes):
             crop = phase[lo[0]:lo[0] + actual[0], lo[1]:lo[1] + actual[1],

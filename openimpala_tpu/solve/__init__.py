@@ -22,7 +22,7 @@ NaN/flags exactly like the reference (``TortuosityHypre.cpp:687-708``).
 from .cg import cg, SolveResult, jacobi_preconditioner
 from .refine import solve_system
 from .fgmres import fgmres
-from .multigrid import make_multigrid_preconditioner
+from .preconditioners import make_multigrid_preconditioner
 
 __all__ = [
     "cg",

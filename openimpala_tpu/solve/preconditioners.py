@@ -651,7 +651,7 @@ def _coarsen_free(free):
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class MultigridPreconditioner:
-    """Geometric multigrid V-cycle (see solve/multigrid.py docstring).
+    """Geometric multigrid V-cycle (rediscretised masks; see below).
 
     ``levels`` is a tuple of MGLevel from fine to coarse; smoothing is
     damped Jacobi with symmetric pre/post counts so the V-cycle is a fixed
@@ -721,3 +721,28 @@ class MultigridPreconditioner:
 
     def __call__(self, r):
         return self._vcycle(0, r)
+
+
+# ---------------------------------------------------------------------------
+# Rediscretised-mask geometric multigrid (the "mg" preconditioner).
+#
+# Stands in for Hypre SMG/PFMG (reference TortuosityHypre.cpp:671-678,
+# EffectiveDiffusivityHypre.cpp:580-620).  Design: coarsening by 2 in all
+# axes (stop when a dim goes odd or < 8); coarse masks are REDISCRETISED —
+# a coarse cell is free if ANY of its 2x2x2 fine children is free ("any"
+# pooling preserves the connectivity of thin pore channels, which "all"
+# pooling would sever); piecewise-constant prolongation, full-weighting
+# restriction; damped-Jacobi smoothing with symmetric pre/post counts so
+# the V-cycle is a symmetric operator and PCG stays valid.  Superseded as
+# the default by the Galerkin conductance hierarchy above (which keeps the
+# coarse problem's connectivity faithful instead of leaking through walls)
+# but kept as the reference "mg" surface.
+# ---------------------------------------------------------------------------
+
+
+def make_multigrid_preconditioner(system, nu1: int = 2, nu2: int = 2,
+                                  omega: float = 0.8, coarse_sweeps: int = 30):
+    """Return the rediscretised-mask V-cycle preconditioner."""
+    return MultigridPreconditioner.from_system(
+        system, nu1=nu1, nu2=nu2, omega=omega, coarse_sweeps=coarse_sweeps
+    )

@@ -9,7 +9,7 @@ from openimpala_tpu.ops.masks import linear_ramp
 from openimpala_tpu.ops.stencil import make_cell_problem_system, make_tortuosity_system
 from openimpala_tpu.solve.cg import cg, jacobi_preconditioner
 from openimpala_tpu.solve.fgmres import fgmres
-from openimpala_tpu.solve.multigrid import make_multigrid_preconditioner
+from openimpala_tpu.solve.preconditioners import make_multigrid_preconditioner
 from openimpala_tpu.solve.refine import solve_system
 from reference_oracle import assemble_tortuosity_dense
 
