@@ -160,7 +160,11 @@ def _auto_restart(r0, restart: int) -> int:
     solver state (per-device bytes; the X sharding divides the field)."""
     n_dev = max(1, len(getattr(r0.sharding, "device_set", [None])))
     field_bytes = r0.size * r0.dtype.itemsize / n_dev
-    budget = 10 * 1024 ** 3  # leave ~6 GB of a v5e for system + workspace
+    # leave ~10 GB of a v5e for everything else that is LIVE during the
+    # inner solve: system + MG hierarchy (~1.5 GB at 512^3) and, under
+    # iterative refinement, the float64 z_total accumulator + outer
+    # residual (~5 GB at 512^3).  A 10 GB basis budget OOMed 512^3.
+    budget = 6 * 1024 ** 3
     m = int((budget / max(field_bytes, 1) - 1) // 2)
     return max(4, min(int(restart), m))
 
