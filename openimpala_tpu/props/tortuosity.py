@@ -90,43 +90,89 @@ def tortuosity(
     return_fields: bool = False,
     verbose: int = 0,
     mesh="auto",
+    original_shape=None,
 ) -> TortuosityResult:
     """``mesh``: None (single device), a ``jax.sharding.Mesh``, or "auto"
     (shard large volumes along X over all local devices).  The sharded path
     is the TPU-native counterpart of the reference's MPI box decomposition
     (``Diffusion.cpp:266-268`` + ``TortuosityHypre.cpp:584-585``): the solver
     state lives partitioned in HBM and GSPMD inserts the ICI halo exchanges
-    and reductions."""
+    and reductions.
+
+    ``phase`` may also be an already-SHARDED ``jax.Array`` (from
+    ``io.threshold_sharded`` — the distributed-ingest path): then the
+    percolation runs on device (synchronous-dilation flood fill under
+    GSPMD) and the volume never touches the host.  Pass the reader's
+    ``original_shape`` so the outlet Dirichlet plane and flood-fill seeds
+    sit at the original domain face, not the ingest padding.
+    """
     direction = parse_direction(direction)
-    shape = phase.shape
+    pre_sharded = (isinstance(phase, jax.Array)
+                   and len(getattr(phase.sharding, "device_set", ())) > 1)
+    padded_shape = tuple(phase.shape)
+    shape = tuple(original_shape) if original_shape else padded_shape
 
     if remspot_passes > 0:
+        if pre_sharded:
+            raise NotImplementedError(
+                "remspot filtering of a pre-sharded volume is not supported; "
+                "apply ops.filters.remspot before ingest"
+            )
         with phase_timer("tortuosity/remspot"):
             phase = np.asarray(remspot(jnp.asarray(phase), remspot_passes))
 
-    # domain-decomposition geometry depends only on the shape — resolve it
-    # up front so the warm-up thread can prime the production solver
-    # programs (hierarchy, chunked-CG, outer residual) while the percolation
-    # fill runs on the host (solve/warmup.py)
-    mesh = resolve_mesh(mesh, shape)
-    pad = 0
-    hi_plane = None
-    if mesh is not None:
-        pad = (-shape[0]) % mesh.devices.size
-        if pad and direction == 0:
-            hi_plane = shape[0] - 1  # outlet stays at the original face
-    solve_shape = (shape[0] + pad,) + tuple(shape[1:])
-    storage = dtype if inner_dtype is None else inner_dtype
-    warm = warmup.maybe_start(
-        solve_shape, direction, vlo, vhi, dx, jnp.dtype(storage).name,
-        hi_plane, mesh, precond, precond_opts, method, inner_dtype, dtype,
-        eps,
-    )
+    if pre_sharded:
+        # device-resident percolation on the sharded volume: the ingest
+        # padding (PAD_FILL cells) is outside every phase, so seeds at the
+        # ORIGINAL faces and 6-neighbour dilation leave it inactive.
+        from ..ops.floodfill import flood_fill_device
 
-    with phase_timer("tortuosity/percolation_mask"):
-        active, active_vf = percolation_mask(
-            phase, phase_id, direction, method=percolation_method
+        mesh = phase.sharding.mesh
+        outlet = shape[direction] - 1  # original domain face
+        solve_shape = padded_shape
+        storage = dtype if inner_dtype is None else inner_dtype
+        with phase_timer("tortuosity/percolation_mask"):
+            phase_ok = phase == phase_id
+            lo_sl = [slice(None)] * 3
+            lo_sl[direction] = 0
+            hi_sl = [slice(None)] * 3
+            hi_sl[direction] = outlet
+            seeds_lo = jnp.zeros(padded_shape, bool).at[tuple(lo_sl)].set(True)
+            seeds_hi = jnp.zeros(padded_shape, bool).at[tuple(hi_sl)].set(True)
+            reach_in, _ = flood_fill_device(phase_ok, seeds_lo)
+            reach_out, _ = flood_fill_device(phase_ok, seeds_hi)
+            active_j = reach_in & reach_out
+            active_vf = float(jnp.sum(active_j)) / int(np.prod(shape))
+        active = active_j
+        warm = None
+        # X padding only: for direction X the outlet Dirichlet plane must
+        # override to the original face; other directions are unpadded
+        hi_plane = (outlet if direction == 0 and padded_shape != shape
+                    else None)
+    else:
+        # domain-decomposition geometry depends only on the shape — resolve
+        # it up front so the warm-up thread can prime the production solver
+        # programs (hierarchy, chunked-CG, outer residual) while the
+        # percolation fill runs on the host (solve/warmup.py)
+        mesh = resolve_mesh(mesh, shape)
+        pad = 0
+        hi_plane = None
+        if mesh is not None:
+            pad = (-shape[0]) % mesh.devices.size
+            if pad and direction == 0:
+                hi_plane = shape[0] - 1  # outlet stays at the original face
+        solve_shape = (shape[0] + pad,) + tuple(shape[1:])
+        storage = dtype if inner_dtype is None else inner_dtype
+        warm = warmup.maybe_start(
+            solve_shape, direction, vlo, vhi, dx, jnp.dtype(storage).name,
+            hi_plane, mesh, precond, precond_opts, method, inner_dtype,
+            dtype, eps,
         )
+
+        with phase_timer("tortuosity/percolation_mask"):
+            active, active_vf = percolation_mask(
+                phase, phase_id, direction, method=percolation_method
+            )
 
     nanres = TortuosityResult(
         value=math.nan, deff=math.nan, active_vf=active_vf,
@@ -137,19 +183,21 @@ def tortuosity(
         # zero percolation: NaN, matching TortuosityHypre.cpp:170-178,764-777
         return nanres
 
-    # domain decomposition: pad X with inactive cells to mesh divisibility
-    # (identity rows, never referenced — exact), shard every solver field
-    # along X.  The percolation mask stays a host computation.
-    active_np = np.asarray(active)
-    if mesh is not None:
-        if pad:
-            active_np = np.pad(active_np, ((0, pad), (0, 0), (0, 0)))
-        active_j = shard_volume(jnp.asarray(active_np), mesh)
-        if verbose > 0:
-            print(f"  Mesh: {mesh.devices.size} devices, X {shape[0]}->"
-                  f"{active_np.shape[0]} (pad {pad})")
-    else:
-        active_j = jnp.asarray(active_np)
+    if not pre_sharded:
+        # domain decomposition: pad X with inactive cells to mesh
+        # divisibility (identity rows, never referenced — exact), shard
+        # every solver field along X.  The percolation mask stays a host
+        # computation on this path.
+        active_np = np.asarray(active)
+        if mesh is not None:
+            if pad:
+                active_np = np.pad(active_np, ((0, pad), (0, 0), (0, 0)))
+            active_j = shard_volume(jnp.asarray(active_np), mesh)
+            if verbose > 0:
+                print(f"  Mesh: {mesh.devices.size} devices, X {shape[0]}->"
+                      f"{active_np.shape[0]} (pad {pad})")
+        else:
+            active_j = jnp.asarray(active_np)
 
     if warm is not None:
         warm.join()  # never compile the same program from two threads

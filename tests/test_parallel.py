@@ -128,6 +128,35 @@ def test_deff_driver_sharded_matches_single(rng):
                                rtol=1e-7, atol=1e-9)
 
 
+@pytest.mark.parametrize("direction", [0, 1])
+def test_tortuosity_from_pre_sharded_volume(tmp_path, rng, direction):
+    """The fully device-resident flow-through path: distributed ingest ->
+    device flood-fill percolation (GSPMD) -> sharded solve, with the outlet
+    Dirichlet plane and flood seeds at the ORIGINAL face despite the ingest
+    padding.  Must match the host-percolation driver path."""
+    from openimpala_tpu.io import RawReader, threshold_sharded
+    from openimpala_tpu.props.tortuosity import tortuosity
+
+    vol = (rng.random((36, 16, 16)) * 255).astype(np.uint8)
+    vol[:, 8, 8] = 255  # guarantee X percolation
+    vol[18, :, 8] = 255  # and Y percolation
+    path = tmp_path / "v.raw"
+    vol.transpose(2, 1, 0).tofile(path)
+    reader = RawReader(str(path), 36, 16, 16, "UINT8")
+
+    mesh = make_mesh(n_devices=8)
+    arr, orig_shape = threshold_sharded(reader, 127.0, mesh)
+    r_dev = tortuosity(arr, 1, direction, eps=1e-10,
+                       original_shape=orig_shape)
+    phase = reader.threshold(127.0)
+    r_host = tortuosity(phase, 1, direction, eps=1e-10, mesh=None,
+                        percolation_method="host")
+    assert r_dev.converged and r_host.converged
+    assert r_dev.active_vf == pytest.approx(r_host.active_vf, abs=1e-12)
+    assert r_dev.value == pytest.approx(r_host.value, rel=1e-8)
+    assert r_dev.flux_in == pytest.approx(r_host.flux_in, rel=1e-7)
+
+
 def test_threshold_sharded_raw_hyperslab(tmp_path, rng):
     """Distributed ingest (io/ingest.py): per-device hyperslab reads ->
     make_array_from_single_device_arrays, X padded with PAD_FILL.  Must
