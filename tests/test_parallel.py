@@ -1,6 +1,8 @@
 """Multi-device tests on the 8-way virtual CPU mesh (the stand-in for a TPU
 pod slice — conftest sets --xla_force_host_platform_device_count=8)."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -109,6 +111,32 @@ def test_tortuosity_driver_sharded_matches_single(rng):
     assert r_sharded.converged and r_sharded.flux_conserved
     assert abs(r_sharded.value - r_single.value) < 1e-7
     assert abs(r_sharded.deff - r_single.deff) < 1e-9
+    assert r_sharded.active_vf == r_single.active_vf
+
+
+@pytest.mark.skipif(os.environ.get("OPENIMPALA_HEAVY_TESTS") != "1",
+                    reason="heavy: 192^3 MG-PCG to 1e-9 on the CPU mesh")
+def test_tortuosity_sharded_192cubed_heavy(rng):
+    """Production-scale sharded parity: a 192^3 blob volume solved with the
+    Galerkin-MG-preconditioned CG to the full 1e-9 tolerance on the
+    8-device mesh must match the single-device solve (tau, D_eff, fluxes) —
+    the configuration a 1024^3 volume runs on a v5p-8."""
+    from openimpala_tpu.props.tortuosity import tortuosity
+
+    n = 192
+    coarse = rng.standard_normal((n // 8,) * 3)
+    phase = (np.kron(coarse, np.ones((8, 8, 8))) <
+             np.quantile(coarse, 0.55)).astype(np.int8)
+    phase[:, n // 2, n // 2] = 1
+
+    r_single = tortuosity(phase, 1, 0, eps=1e-9, mesh=None,
+                          percolation_method="host")
+    mesh = make_mesh(n_devices=8)
+    r_sharded = tortuosity(phase, 1, 0, eps=1e-9, mesh=mesh,
+                           percolation_method="host")
+    assert r_sharded.converged and r_sharded.flux_conserved
+    assert r_sharded.value == pytest.approx(r_single.value, rel=1e-8)
+    assert r_sharded.flux_in == pytest.approx(r_single.flux_in, rel=1e-7)
     assert r_sharded.active_vf == r_single.active_vf
 
 
