@@ -200,6 +200,38 @@ PaddedVolume make_padded(const int8_t* phase_ok, int64_t nx, int64_t ny,
   return v;
 }
 
+// Variant fusing the ``phase == phase_id`` comparison into the pad copy —
+// spares the caller two full-volume numpy passes (compare + int8 cast).
+// dtype_code: 0 = int8, 1 = int32.
+PaddedVolume make_padded_phase(const void* phase, int dtype_code,
+                               int64_t phase_id, int64_t nx, int64_t ny,
+                               int64_t nz) {
+  PaddedVolume v;
+  v.px = nx + 2; v.py = ny + 2; v.pz = nz + 2;
+  v.psy = v.pz; v.psx = v.py * v.pz;
+  try {
+    v.pad.assign(static_cast<size_t>(v.px * v.py * v.pz), 0);
+  } catch (...) {
+    return v;
+  }
+  for (int64_t i = 0; i < nx; ++i)
+    for (int64_t j = 0; j < ny; ++j) {
+      int8_t* dst = &v.pad[(i + 1) * v.psx + (j + 1) * v.psy + 1];
+      const int64_t off = (i * ny + j) * nz;
+      if (dtype_code == 0) {
+        const int8_t* row = static_cast<const int8_t*>(phase) + off;
+        const int8_t id = static_cast<int8_t>(phase_id);
+        for (int64_t k = 0; k < nz; ++k) dst[k] = (row[k] == id);
+      } else {
+        const int32_t* row = static_cast<const int32_t*>(phase) + off;
+        const int32_t id = static_cast<int32_t>(phase_id);
+        for (int64_t k = 0; k < nz; ++k) dst[k] = (row[k] == id);
+      }
+    }
+  v.ok = true;
+  return v;
+}
+
 template <typename IDX>
 int64_t bfs_dispatch(PaddedVolume& v, int direction, int seed_hi,
                      int8_t eligible, int8_t visited) {
@@ -257,6 +289,22 @@ int64_t impala_percolation_mask(const int8_t* phase_ok, int64_t nx,
                                 int64_t ny, int64_t nz, int direction,
                                 int8_t* active) {
   PaddedVolume v = make_padded(phase_ok, nx, ny, nz);
+  if (!v.ok) return -1;
+  run_bfs(v, direction, /*seed_hi=*/0, /*eligible=*/1, /*visited=*/2);
+  const int64_t count = run_bfs(v, direction, /*seed_hi=*/1, /*eligible=*/2,
+                                /*visited=*/3);
+  export_label(v, 3, nx, ny, nz, active);
+  return count;
+}
+
+// Like impala_percolation_mask, but takes the RAW phase volume and fuses
+// the ``phase == phase_id`` comparison into the pad copy.
+// dtype_code: 0 = int8, 1 = int32.
+int64_t impala_percolation_mask_phase(const void* phase, int dtype_code,
+                                      int64_t phase_id, int64_t nx,
+                                      int64_t ny, int64_t nz, int direction,
+                                      int8_t* active) {
+  PaddedVolume v = make_padded_phase(phase, dtype_code, phase_id, nx, ny, nz);
   if (!v.ok) return -1;
   run_bfs(v, direction, /*seed_hi=*/0, /*eligible=*/1, /*visited=*/2);
   const int64_t count = run_bfs(v, direction, /*seed_hi=*/1, /*eligible=*/2,

@@ -60,6 +60,7 @@ def get_lib():
         lib.impala_unpack_bits.restype = ctypes.c_int
         lib.impala_flood_fill.restype = ctypes.c_int64
         lib.impala_percolation_mask.restype = ctypes.c_int64
+        lib.impala_percolation_mask_phase.restype = ctypes.c_int64
         lib.impala_remspot.restype = ctypes.c_int64
         _lib = lib
         return _lib
@@ -114,6 +115,36 @@ def percolation_mask(phase_ok: np.ndarray, direction: int):
     n = lib.impala_percolation_mask(
         _ptr(p, ctypes.c_int8), ctypes.c_int64(p.shape[0]),
         ctypes.c_int64(p.shape[1]), ctypes.c_int64(p.shape[2]),
+        ctypes.c_int(direction), _ptr(active, ctypes.c_int8),
+    )
+    if n < 0:
+        return None
+    return active.astype(bool), int(n)
+
+
+_PHASE_DTYPES = {np.dtype(np.int8): 0, np.dtype(np.uint8): 0,
+                 np.dtype(np.int32): 1}
+
+
+def percolation_mask_phase(phase: np.ndarray, phase_id: int, direction: int):
+    """Like percolation_mask but from the RAW phase volume: the
+    ``phase == phase_id`` comparison happens inside the C pad copy, sparing
+    two full-volume numpy passes.  None if the library or dtype fast path
+    is unavailable (callers fall back to the compare-then-mask route)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    phase = np.asarray(phase)
+    code = _PHASE_DTYPES.get(phase.dtype)
+    if code is None or not phase.flags.c_contiguous:
+        return None
+    if phase.dtype == np.uint8 and not (0 <= phase_id < 128):
+        return None  # int8 reinterpretation only safe for small ids
+    active = np.empty(phase.shape, np.int8)
+    n = lib.impala_percolation_mask_phase(
+        phase.ctypes.data_as(ctypes.c_void_p), ctypes.c_int(code),
+        ctypes.c_int64(int(phase_id)), ctypes.c_int64(phase.shape[0]),
+        ctypes.c_int64(phase.shape[1]), ctypes.c_int64(phase.shape[2]),
         ctypes.c_int(direction), _ptr(active, ctypes.c_int8),
     )
     if n < 0:

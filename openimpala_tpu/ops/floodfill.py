@@ -110,9 +110,13 @@ def percolation_mask(phase, phase_id: int, direction: int, method: str = "auto")
         # of once per wavefront step; fastest host path for big volumes.
         from ..io import native
 
-        res = native.percolation_mask(
-            np.ascontiguousarray(np.asarray(phase) == phase_id, np.int8), direction
-        )
+        res = native.percolation_mask_phase(np.asarray(phase), phase_id,
+                                            direction)
+        if res is None:  # dtype outside the fused fast path
+            res = native.percolation_mask(
+                np.ascontiguousarray(np.asarray(phase) == phase_id, np.int8),
+                direction,
+            )
         if res is None:  # toolchain unavailable -> host fallback
             method = "host"
         else:
