@@ -547,6 +547,10 @@ def _rings_for_v3(plane_bytes: int, has_r: bool):
         n_f32_rings = 1 + (1 if has_r else 0)  # out (+ r), each dr slots
         # + the packed bf16 code ring (plane_bytes/2 per slot)
         vmem = (xr + n_f32_rings * dr) * plane_bytes + dr * (plane_bytes // 2)
+        # NB a v5e core has 128 MB of VMEM, but raising this budget to 24 MB
+        # (deeper rings for the r-streaming modes) was measured NOT to help:
+        # matvec 2.95 -> 3.07 ms, sweep 3.6 -> 3.7 ms at 512^3 — the ring
+        # depth is not what separates the r-modes from the matvec.  Keep 11.
         if vmem < 11 * 1024 * 1024:
             return xr, dr
     return None
