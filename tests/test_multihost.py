@@ -44,6 +44,16 @@ WORKER = textwrap.dedent("""
     if multihost.is_coordinator():
         print(f"TAU {{r.value:.12f}} {{int(r.iterations)}}"
               f" {{bool(r.converged)}}", flush=True)
+
+    # full production pipeline across processes: per-host distributed
+    # ingest (each process reads only its devices' X slabs of the shared
+    # file) -> device flood-fill percolation -> sharded solve
+    from openimpala_tpu.io import RawReader, threshold_sharded
+    reader = RawReader(sys.argv[3], 48, 16, 16, "UINT8")
+    arr, orig_shape = threshold_sharded(reader, 127.0, mesh)
+    r2 = tortuosity(arr, 1, 0, eps=1e-9, original_shape=orig_shape)
+    if multihost.is_coordinator():
+        print(f"TAU2 {{r2.value:.12f}} {{bool(r2.converged)}}", flush=True)
 """)
 
 
@@ -54,13 +64,21 @@ def _free_port() -> int:
 
 
 def test_two_process_solve_matches_single(tmp_path):
+    # shared RAW volume both processes ingest their own slabs of
+    rng = np.random.default_rng(5)
+    phase = (rng.random((48, 16, 16)) < 0.65).astype(np.int8)
+    phase[:, 8, 8] = 1
+    raw = tmp_path / "v.raw"
+    (phase.astype(np.uint8) * 255).transpose(2, 1, 0).tofile(raw)
+
     worker = tmp_path / "worker.py"
     worker.write_text(WORKER.format(repo=REPO))
     port = str(_free_port())
     env = {k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"}
 
     procs = [
-        subprocess.Popen([sys.executable, str(worker), str(pid), port],
+        subprocess.Popen([sys.executable, str(worker), str(pid), port,
+                          str(raw)],
                          stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
                          text=True, env=env, cwd=REPO)
         for pid in (0, 1)
@@ -74,13 +92,15 @@ def test_two_process_solve_matches_single(tmp_path):
     tau_line = next(l for l in outs[0].splitlines() if l.startswith("TAU "))
     _, tau, iters, conv = tau_line.split()
     assert conv == "True"
+    tau2_line = next(l for l in outs[0].splitlines() if l.startswith("TAU2 "))
+    _, tau2, conv2 = tau2_line.split()
+    assert conv2 == "True"
 
     # single-process reference on this process's virtual 8-device CPU mesh
-    rng = np.random.default_rng(5)
-    phase = (rng.random((48, 16, 16)) < 0.65).astype(np.int8)
-    phase[:, 8, 8] = 1
     from openimpala_tpu.props.tortuosity import tortuosity
 
     ref = tortuosity(phase, 1, 0, eps=1e-9, mesh=None,
                      percolation_method="host")
     assert float(tau) == pytest.approx(ref.value, rel=1e-7)
+    # distributed-ingest + device-percolation pipeline agrees too
+    assert float(tau2) == pytest.approx(ref.value, rel=1e-7)
