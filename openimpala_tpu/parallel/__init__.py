@@ -20,8 +20,10 @@ Two modes of operation:
 
 from .mesh import make_mesh, shard_volume, volume_pspec
 from .halo import halo_exchange_x, pad_halo, shard_map_stencil_apply
+from . import multihost
 
 __all__ = [
+    "multihost",
     "make_mesh",
     "shard_volume",
     "volume_pspec",

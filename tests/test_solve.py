@@ -218,3 +218,18 @@ def test_chebyshev_preconditioner_converges_faster(problem):
     assert int(pre.iterations) < int(plain.iterations)
     x_full = system.assemble_solution(x0 + pre.z)
     np.testing.assert_allclose(np.asarray(x_full), x_direct, atol=1e-8)
+
+
+def test_warmup_internals_run_on_cpu():
+    """solve/warmup.py is gated to TPU+multi-core in production, but its
+    body must stay importable/runnable (it shares the driver's build and
+    precond paths) — exercise _warm directly on CPU shapes."""
+    from openimpala_tpu.solve import warmup
+
+    warmup._warm((16, 8, 8), 0, -1.0, 1.0, (1.0, 1.0, 1.0), "float32",
+                 None, None, "auto", None, "cg", jnp.float32, jnp.float64,
+                 1e-9)
+    # the public gate declines on this host (CPU backend)
+    assert warmup.maybe_start((256, 256, 256), 0, -1.0, 1.0, (1.0, 1.0, 1.0),
+                              "float32", None, None, "auto", None, "cg",
+                              jnp.float32, jnp.float64, 1e-9) is None
