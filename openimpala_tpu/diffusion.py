@@ -48,12 +48,12 @@ def load_phase(cfg: DiffusionConfig) -> np.ndarray:
     return _reader(cfg).threshold(cfg.threshold_val, 1, 0)
 
 
-def load_phase_sharded(cfg: DiffusionConfig):
-    """Distributed ingest for the homogenization path: per-device reader
-    slabs placed directly into sharded device memory (io/ingest.py).
-    Returns a sharded jax.Array, or None when ingest does not apply (single
-    device, or X not mesh-divisible — the periodic cell problem cannot be
-    padded)."""
+def load_phase_sharded(cfg: DiffusionConfig, allow_pad: bool = False):
+    """Distributed ingest: per-device reader slabs placed directly into
+    sharded device memory (io/ingest.py).  Returns ``(arr, orig_shape)``,
+    or None when ingest does not apply (single device, or — for the
+    periodic cell problem, which cannot be padded — X not mesh-divisible;
+    the flow-through path passes ``allow_pad=True``)."""
     import jax
 
     from .io.ingest import threshold_sharded
@@ -63,10 +63,9 @@ def load_phase_sharded(cfg: DiffusionConfig):
         return None
     reader = _reader(cfg)
     mesh = make_mesh()
-    if reader.shape[0] % mesh.devices.size != 0:
+    if not allow_pad and reader.shape[0] % mesh.devices.size != 0:
         return None
-    arr, _ = threshold_sharded(reader, cfg.threshold_val, mesh)
-    return arr
+    return threshold_sharded(reader, cfg.threshold_val, mesh)
 
 
 def parse_directions(s: str):
@@ -96,16 +95,27 @@ def main(argv=None) -> int:
     # homogenization without a REV study never needs the host copy: ingest
     # straight into sharded device memory when a multi-device mesh exists
     phase = None
-    if cfg.calculation_method == "homogenization" and not cfg.rev_do_study:
-        phase = load_phase_sharded(cfg)
-        if phase is not None and cfg.verbose >= 1:
-            import jax
+    orig_shape = None
+    if not cfg.rev_do_study and (
+        cfg.calculation_method == "homogenization"
+        or (cfg.calculation_method == "flow_through"
+            and cfg.tortuosity_remspot_passes == 0)
+    ):
+        loaded = load_phase_sharded(
+            cfg, allow_pad=cfg.calculation_method == "flow_through")
+        if loaded is not None:
+            phase, orig_shape = loaded
+            if cfg.verbose >= 1:
+                import jax
 
-            print(f"  Distributed ingest over {len(jax.devices())} devices")
+                print(f"  Distributed ingest over {len(jax.devices())} "
+                      f"devices")
     if phase is None:
         phase = load_phase(cfg)
+        orig_shape = phase.shape
     if cfg.verbose >= 1:
-        print(f"  Domain: {phase.shape[0]} x {phase.shape[1]} x {phase.shape[2]}")
+        print(f"  Domain: {orig_shape[0]} x {orig_shape[1]} x "
+              f"{orig_shape[2]}")
 
     if cfg.rev_do_study:
         csv_path = os.path.join(cfg.results_path, cfg.rev_results_file)
@@ -148,7 +158,10 @@ def main(argv=None) -> int:
 
     elif cfg.calculation_method == "flow_through":
         print("\n--- Full Domain Calculation: Tortuosity via Flow-Through ---")
-        vf = volume_fraction(phase, cfg.phase_id)
+        from .props.volume_fraction import volume_fraction_counts
+
+        pc, _ = volume_fraction_counts(phase, cfg.phase_id)
+        vf = pc / (orig_shape[0] * orig_shape[1] * orig_shape[2])
         print(f"  Volume Fraction = {vf:.8f}")
         results = {}
         for d in parse_directions(cfg.direction):
@@ -161,6 +174,7 @@ def main(argv=None) -> int:
                 remspot_passes=cfg.tortuosity_remspot_passes,
                 inner_dtype=inner_dtype, verbose=cfg.verbose,
                 return_fields=cfg.write_plotfile or cfg.debug_write_active_mask,
+                original_shape=orig_shape,
             )
             results[f"Tortuosity_{name}"] = r.value
             print(f"  >>> Calculated Tortuosity ({name}): {r.value:.8f} <<<")
