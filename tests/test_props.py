@@ -26,6 +26,26 @@ class TestVolumeFraction:
         assert pc == int((blob_phase == 1).sum())
         assert tc == blob_phase.size
 
+    def test_local_counts_per_shard(self, blob_phase):
+        """local=True on a sharded volume: per-shard counts (the reference's
+        skip-the-reduction mode, VolumeFraction.cpp:22-66) that sum to the
+        global counts."""
+        import jax
+        import jax.numpy as jnp
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs the 8-device mesh")
+        from openimpala_tpu.parallel.mesh import make_mesh, shard_volume
+
+        b = np.asarray(blob_phase)
+        vol = np.concatenate([b, b[:4]], axis=0)  # X=24, mesh-divisible
+        mesh = make_mesh(n_devices=8)
+        arr = shard_volume(jnp.asarray(np.ascontiguousarray(vol)), mesh)
+        counts, totals = volume_fraction_counts(arr, 1, local=True)
+        assert len(counts) == 8 and len(totals) == 8
+        assert sum(counts) == int((vol == 1).sum())
+        assert sum(totals) == vol.size
+
 
 class TestTortuosity:
     def test_full_pore_tau_is_discrete_one(self):
