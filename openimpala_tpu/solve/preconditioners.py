@@ -399,6 +399,20 @@ def _restrict_tri(xf, periodic):
     return xf
 
 
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("n_levels",))
+def _build_hierarchy(system, n_levels: int):
+    """All Galerkin conductance levels in one compiled program."""
+    cur = fine_conductances(system)
+    levels = []
+    for _ in range(n_levels):
+        cur = galerkin_coarsen(cur)
+        levels.append(cur)
+    return tuple(levels)
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class GalerkinMGPreconditioner:
@@ -441,14 +455,17 @@ class GalerkinMGPreconditioner:
     def from_system(cls, system, max_levels: int = 16, **kw):
         fine = MGLevel(code=system.code, w=system.w, periodic=system.periodic,
                        diag_full=system.diag_full)
-        # jit each construction step: built eagerly the op-by-op dispatches
-        # take ~85 s through a tunnelled TPU runtime at 512^3
-        levels = []
-        cur = jax.jit(fine_conductances)(system)
-        coarsen = jax.jit(galerkin_coarsen)
-        while len(levels) + 1 < max_levels and _can_coarsen(cur.diag.shape):
-            cur = coarsen(cur)
-            levels.append(cur)
+        # the whole hierarchy builds as ONE jitted program (shapes are
+        # static, so the level loop unrolls at trace time): built eagerly
+        # the op-by-op dispatches took ~85 s through the tunnelled TPU
+        # runtime at 512^3, and per-level jitted steps still paid ~8
+        # dispatch round-trips
+        n_levels = 0
+        shape = system.code.shape
+        while n_levels + 1 < max_levels and _can_coarsen(shape):
+            shape = tuple(s // 2 for s in shape)
+            n_levels += 1
+        levels = _build_hierarchy(system, n_levels)
         return cls(fine=fine, levels=tuple(levels), **kw)
 
     # -- smoothing ---------------------------------------------------------
