@@ -134,12 +134,14 @@ def percolation_mask(phase, phase_id: int, direction: int, method: str = "auto")
         active = reach_in & reach_out
         return active, float(active.sum()) / total
 
+    from ..utils.common import any_true, count_true
+
     phase_ok = jnp.asarray(phase) == phase_id
     seeds_lo = jnp.zeros(phase.shape, bool).at[_face_slices(direction, True)].set(True)
     seeds_hi = jnp.zeros(phase.shape, bool).at[_face_slices(direction, False)].set(True)
-    if not bool((phase_ok & seeds_lo).any()) or not bool((phase_ok & seeds_hi).any()):
+    if not any_true(phase_ok & seeds_lo) or not any_true(phase_ok & seeds_hi):
         return jnp.zeros(phase.shape, bool), 0.0
     reach_in, _ = flood_fill_device(phase_ok, seeds_lo)
     reach_out, _ = flood_fill_device(phase_ok, seeds_hi)
     active = reach_in & reach_out
-    return active, float(jnp.sum(active)) / total
+    return active, count_true(active) / total

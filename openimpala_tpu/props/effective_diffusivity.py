@@ -80,8 +80,10 @@ def effective_diffusivity(
     pre_sharded = (isinstance(phase, jax.Array)
                    and len(getattr(phase.sharding, "device_set", ())) > 1)
     if pre_sharded:
+        from ..utils.common import count_true
+
         active = phase == phase_id
-        n_active = int(jnp.sum(active))
+        n_active = count_true(active)
     else:
         active_np = np.asarray(phase) == phase_id
         n_active = int(active_np.sum())

@@ -27,7 +27,9 @@ def volume_fraction_counts(phase, phase_id: int, local: bool = False):
             return counts, totals
     if isinstance(phase, np.ndarray):
         return int((phase == phase_id).sum()), int(phase.size)
-    return int(jnp.sum(phase == phase_id)), int(phase.size)
+    from ..utils.common import count_true
+
+    return count_true(phase == phase_id), int(phase.size)
 
 
 def volume_fraction(phase, phase_id: int) -> float:

@@ -21,9 +21,16 @@ if os.environ.get("OPENIMPALA_TEST_TPU", "0") != "1":
 
     _flags = os.environ.get("XLA_FLAGS", "")
     if "host_platform_device_count" not in _flags:
-        os.environ["XLA_FLAGS"] = (
-            _flags + " --xla_force_host_platform_device_count=8"
-        ).strip()
+        _flags += " --xla_force_host_platform_device_count=8"
+    # Raise XLA:CPU's 40 s collective-rendezvous SIGABRT deadline: 8 device
+    # threads share one physical core here, and under host load a straggler
+    # past 40 s is a scheduling artifact, not a hang (verified with a forced
+    # 50 s straggler — warns, completes).
+    for _tf in ("--xla_cpu_collective_call_terminate_timeout_seconds=900",
+                "--xla_cpu_collective_timeout_seconds=900"):
+        if _tf.split("=")[0] not in _flags:
+            _flags += " " + _tf
+    os.environ["XLA_FLAGS"] = _flags.strip()
     import jax
 
     jax.config.update("jax_platforms", "cpu")

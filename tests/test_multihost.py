@@ -23,8 +23,11 @@ WORKER = textwrap.dedent("""
     sys.path[:] = [p for p in sys.path if ".axon_site" not in p]
     sys.path.insert(0, {repo!r})
     os.environ.pop("JAX_PLATFORMS", None)
-    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
-                               + " --xla_force_host_platform_device_count=4")
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=4"
+        + " --xla_cpu_collective_call_terminate_timeout_seconds=900"
+        + " --xla_cpu_collective_timeout_seconds=900")
     import jax
     jax.config.update("jax_platforms", "cpu")
     pid = int(sys.argv[1])
