@@ -117,8 +117,9 @@ int impala_unpack_bits(const uint8_t* packed, int64_t n_values,
 // and no bounds branches — ~2x faster than the direct-indexed BFS on the
 // single-CPU host this runs on.  Labels live in the padded array itself:
 //   eligible -> visited   (one byte per voxel, no separate visited array)
-// IDX is uint32 when the padded volume fits (halves frontier traffic;
-// 1290^3 padded still fits uint32), int64 beyond.
+// IDX is int32 when the padded volume has < 2^31 elements (halves frontier
+// traffic; up to ~1288^3 unpadded, i.e. 1290^3 padded), int64 beyond.
+// int32 rather than uint32 because neighbour offsets are negative strides.
 // ---------------------------------------------------------------------------
 
 namespace {

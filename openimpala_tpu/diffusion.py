@@ -178,11 +178,14 @@ def main(argv=None) -> int:
             )
             results[f"Tortuosity_{name}"] = r.value
             print(f"  >>> Calculated Tortuosity ({name}): {r.value:.8f} <<<")
+            # distributed ingest may have padded phase along X; every
+            # dataset in a plotfile must carry the ORIGINAL domain shape
+            phase_np = np.asarray(phase)[: orig_shape[0]].astype(np.float64)
             if cfg.write_plotfile and r.phi is not None:
                 base = os.path.join(cfg.results_path, f"tortuosity_solution_{d}")
                 write_volume_hdf5_xdmf(base, {
                     "solution_potential": np.asarray(r.phi),
-                    "phase_id": phase.astype(np.float64),
+                    "phase_id": phase_np,
                     "active_mask": np.asarray(r.active, np.float64),
                 })
             elif cfg.debug_write_active_mask and r.active is not None:
@@ -191,7 +194,7 @@ def main(argv=None) -> int:
                 base = os.path.join(cfg.results_path, f"active_mask_{name}")
                 write_volume_hdf5_xdmf(base, {
                     "active_mask": np.asarray(r.active, np.float64),
-                    "phase_id": phase.astype(np.float64),
+                    "phase_id": phase_np,
                 })
         out = os.path.join(cfg.results_path, cfg.output_filename)
         print(f"\nWriting final results to: {out}")

@@ -138,6 +138,10 @@ def percolation_mask_phase(phase: np.ndarray, phase_id: int, direction: int):
     code = _PHASE_DTYPES.get(phase.dtype)
     if code is None or not phase.flags.c_contiguous:
         return None
+    if code == 0 and not (-128 <= phase_id < 128):
+        # the C side static_casts phase_id to int8; out-of-range ids would
+        # wrap (e.g. 200 -> -56) and falsely match — fall back instead
+        return None
     if phase.dtype == np.uint8 and not (0 <= phase_id < 128):
         return None  # int8 reinterpretation only safe for small ids
     active = np.empty(phase.shape, np.int8)

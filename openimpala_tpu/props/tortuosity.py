@@ -142,7 +142,9 @@ def tortuosity(
             reach_in, _ = flood_fill_device(phase_ok, seeds_lo)
             reach_out, _ = flood_fill_device(phase_ok, seeds_hi)
             active_j = reach_in & reach_out
-            active_vf = float(jnp.sum(active_j)) / int(np.prod(shape))
+            from ..utils.common import count_true
+
+            active_vf = count_true(active_j) / int(np.prod(shape))
         active = active_j
         warm = None
         # X padding only: for direction X the outlet Dirichlet plane must
@@ -214,9 +216,14 @@ def tortuosity(
         )
     if solve_shape != shape:
         # crop the padding back off; all downstream quantities (fluxes,
-        # geometry, VF) are defined on the original domain
+        # geometry, VF) are defined on the original domain.  ``active`` is
+        # what callers see via return_fields — keep it in lockstep with the
+        # cropped solution (the pre-sharded path binds it to the padded
+        # array above).
         x_full = x_full[: shape[0]]
         active_j = active_j[: shape[0]]
+        if pre_sharded:
+            active = active_j
     iterations = int(info.iterations)
     rel_res = float(info.rel_res)
     converged = bool(info.converged)
