@@ -261,3 +261,80 @@ class TestTiffRawCodec:
             im.seek(3)
             want = np.asarray(im)
         np.testing.assert_array_equal(r._page(3).astype(want.dtype), want)
+
+
+class TestBigTiff:
+    """BigTIFF (magic 43, 64-bit offsets) — the reference reads these
+    transparently via libtiff 4.6 (TiffReader.cpp:146-178,
+    containers/Singularity.deps.def:20-26); a classic TIFF caps at 4 GiB,
+    so the 2048^3 weak-scaling volume can only enter through this door."""
+
+    @pytest.mark.parametrize("dtype", ["uint8", "uint16", "float64"])
+    @pytest.mark.parametrize("tile", [None, (8, 16)])
+    def test_roundtrip(self, rng, tmp_path, dtype, tile):
+        from openimpala_tpu.io.tiff import TiffReader
+        from openimpala_tpu.io.tiff_raw import RawTiff, write_tiff
+
+        if np.dtype(dtype).kind == "f":
+            pages = [rng.standard_normal((20, 30)).astype(dtype)
+                     for _ in range(4)]
+        else:
+            pages = [rng.integers(0, np.iinfo(dtype).max, (20, 30))
+                     .astype(dtype) for _ in range(4)]
+        path = tmp_path / f"big_{dtype}.tif"
+        write_tiff(str(path), pages, tile=tile, big=True)
+        assert RawTiff(str(path)).big
+
+        r = TiffReader(str(path))
+        assert r.shape == (30, 20, 4)
+        want = np.stack(pages).transpose(2, 1, 0)
+        np.testing.assert_array_equal(r.read(), want)
+
+    def test_1bit_roundtrip(self, rng, tmp_path):
+        from openimpala_tpu.io.tiff import TiffReader
+        from openimpala_tpu.io.tiff_raw import write_tiff
+
+        pages = [rng.random((16, 24)) < 0.5 for _ in range(3)]
+        path = tmp_path / "big_bits.tif"
+        write_tiff(str(path), pages, big=True)
+        r = TiffReader(str(path))
+        assert r.bits_per_sample == 1
+        np.testing.assert_array_equal(
+            r.read().astype(bool), np.stack(pages).transpose(2, 1, 0))
+
+    def test_auto_selects_classic_for_small(self, tmp_path):
+        from openimpala_tpu.io.tiff_raw import RawTiff, write_tiff
+
+        path = tmp_path / "small.tif"
+        write_tiff(str(path), [np.zeros((8, 8), np.uint8)])
+        assert not RawTiff(str(path)).big
+
+    @pytest.mark.skipif(os.environ.get("OPENIMPALA_HEAVY_TESTS") != "1",
+                        reason="writes a >4 GiB fixture (heavy tier)")
+    def test_over_4gib_stack_ingestible(self, tmp_path):
+        """A synthetic stack past the classic 4 GiB cap streams out through
+        the generator path and reads back page-at-a-time (the distributed
+        ingest access pattern — no full-volume materialisation)."""
+        from openimpala_tpu.io.tiff import TiffReader
+        from openimpala_tpu.io.tiff_raw import write_tiff
+
+        ny, nx, nz = 1664, 1664, 1600  # ~4.1 GiB uint8
+        path = tmp_path / "huge.tif"
+
+        def gen():
+            row = (np.arange(nx) % 251).astype(np.uint8)
+            page = np.broadcast_to(row, (ny, nx))
+            for z in range(nz):
+                yield np.bitwise_xor(page, np.uint8(z % 256))
+
+        write_tiff(str(path), gen(), big=True)
+        assert os.path.getsize(str(path)) > 2 ** 32
+
+        r = TiffReader(str(path))
+        assert r.shape == (nx, ny, nz)
+        for z in (0, nz // 2, nz - 1):
+            got = r._page(z)
+            want = np.bitwise_xor(
+                np.broadcast_to((np.arange(nx) % 251).astype(np.uint8),
+                                (ny, nx)), np.uint8(z % 256))
+            np.testing.assert_array_equal(got, want)
