@@ -9,13 +9,19 @@ device's memory; the global volume is assembled with
 ``jax.make_array_from_single_device_arrays`` so the int8 phase (and every
 f32 solver field derived from it) only ever exists sharded.
 
-Reader slab protocol (``slab_axis`` class attribute):
+Reader slab protocol (``slab_axis`` attribute, class- or instance-level;
+``read_slab(lo, hi)`` when the reader's public ``read`` is not the slab
+accessor, e.g. HDF5; ``slab_chunk`` optionally hints the IO-aligned read
+granularity, e.g. the HDF5 chunk Z-extent):
 
-* 0 — the reader reads X slabs directly (``read(x0, x1)``): HDF5 hyperslabs,
-  RAW memmap ranges.  Host peak memory = one slab.
-* 2 — the reader streams Z slabs (TIFF pages); slabs are scattered into
-  per-device X buffers as they decode.  Host peak = int8 phase volume
-  (1 GiB at 1024^3) — the f32 state still never exists unsharded.
+* 0 — the reader reads X slabs directly: RAW memmap ranges, HDF5 files
+  whose chunks tile X finely (then an X hyperslab touches only overlapping
+  chunks).  Host peak memory = one slab; per-host IO ≈ its X share.
+* 2 — the reader streams Z slabs (TIFF pages; contiguous/z-chunked HDF5);
+  slabs are scattered into per-device X buffers as they decode.  Each Z
+  slab is read ONCE per host — per-host IO ≈ file size, independent of
+  device count.  Host peak = int8 phase volume (1 GiB at 1024^3) — the f32
+  state still never exists unsharded.
 * None — whole-file readers (DAT, mirroring ``DatReader.cpp:122-145``).
 """
 
@@ -46,6 +52,10 @@ def threshold_sharded(reader, thr: float, mesh, vtrue: int = 1,
     xloc = Xp // n
     sharding = NamedSharding(mesh, volume_pspec())
     slab_axis = getattr(reader, "slab_axis", None)
+    read_slab = getattr(reader, "read_slab", reader.read)
+    slab_chunk = getattr(reader, "slab_chunk", None)
+    if slab_chunk:  # align read boundaries to the reader's IO granularity
+        chunk = -(-max(chunk, slab_chunk) // slab_chunk) * slab_chunk
 
     def _threshold(vals):
         return np.where(vals.astype(np.float64) > thr, vtrue, vfalse).astype(np.int8)
@@ -63,7 +73,7 @@ def threshold_sharded(reader, thr: float, mesh, vtrue: int = 1,
             x0, x1 = d * xloc, min((d + 1) * xloc, X)
             slab = np.full((xloc, Y, Z), PAD_FILL, np.int8)
             if x0 < X:
-                slab[: x1 - x0] = _threshold(reader.read(x0, x1))
+                slab[: x1 - x0] = _threshold(read_slab(x0, x1))
             shards.append(jax.device_put(slab, devices[d]))
     else:
         # streaming path: z (or whole-file) reads scattered into X buffers
@@ -71,7 +81,7 @@ def threshold_sharded(reader, thr: float, mesh, vtrue: int = 1,
         if slab_axis == 2:
             for z0 in range(0, Z, chunk):
                 z1 = min(Z, z0 + chunk)
-                part = _threshold(reader.read(z0, z1))  # (X, Y, z1-z0)
+                part = _threshold(read_slab(z0, z1))  # (X, Y, z1-z0)
                 for d in mine:
                     x0, x1 = d * xloc, min((d + 1) * xloc, X)
                     if x0 < X:

@@ -250,3 +250,68 @@ def test_sharded_galerkin_mg_matches_single_device(rng):
 
     np.testing.assert_allclose(np.asarray(z_sharded), np.asarray(z_single),
                                rtol=1e-12, atol=1e-12)
+
+
+def test_hdf5_slab_axis_selection(tmp_path, rng):
+    """Chunk-aware IO strategy (VERDICT r2 item 8): a C-order (Z,Y,X) file
+    only reads proportionally for X hyperslabs when chunks tile X finely;
+    contiguous and z-plane-chunked files must stream Z slabs instead
+    (reference per-box hyperslabs: HDF5Reader.cpp:287-306)."""
+    import h5py
+
+    from openimpala_tpu.io.hdf5 import HDF5Reader
+
+    vol_zyx = (rng.random((12, 16, 32)) * 255).astype(np.uint8)
+
+    p = tmp_path / "contig.h5"
+    with h5py.File(p, "w") as f:
+        f.create_dataset("image", data=vol_zyx)  # contiguous
+    r = HDF5Reader(str(p), "image")
+    assert r.slab_axis == 2  # strided X reads would touch the whole file
+
+    p = tmp_path / "zplane.h5"
+    with h5py.File(p, "w") as f:
+        f.create_dataset("image", data=vol_zyx, chunks=(1, 16, 32))
+    r = HDF5Reader(str(p), "image")
+    assert r.slab_axis == 2 and r.slab_chunk == 1
+
+    p = tmp_path / "xtiled.h5"
+    with h5py.File(p, "w") as f:
+        f.create_dataset("image", data=vol_zyx, chunks=(12, 16, 4))
+    r = HDF5Reader(str(p), "image")
+    assert r.slab_axis == 0 and r.slab_chunk == 4
+    # x-slab reads and z-slab reads agree with the full volume
+    want = np.ascontiguousarray(vol_zyx.transpose(2, 1, 0))
+    np.testing.assert_array_equal(r.read(4, 9), want[4:9])
+    np.testing.assert_array_equal(r.read_z(3, 7), want[:, :, 3:7])
+
+
+def test_hdf5_ingest_reads_each_slab_once(tmp_path, rng):
+    """On a z-chunked file the ingest must request every Z range exactly
+    once per host (scattering to all 8 device buffers) — NOT once per
+    device — so per-host IO ≈ file size (VERDICT r2 'done' criterion)."""
+    import h5py
+
+    from openimpala_tpu.io import threshold_sharded
+    from openimpala_tpu.io.hdf5 import HDF5Reader
+
+    vol_zyx = (rng.random((24, 16, 32)) * 255).astype(np.uint8)
+    p = tmp_path / "v.h5"
+    with h5py.File(p, "w") as f:
+        f.create_dataset("image", data=vol_zyx, chunks=(4, 16, 32))
+    reader = HDF5Reader(str(p), "image")
+    assert reader.slab_axis == 2 and reader.slab_chunk == 4
+
+    calls = []
+    orig = reader.read_slab
+    reader.read_slab = lambda lo, hi: (calls.append((lo, hi)), orig(lo, hi))[1]
+
+    mesh = make_mesh(n_devices=8)
+    arr, shape = threshold_sharded(reader, 127.0, mesh, chunk=6)
+    ingest_calls = list(calls)
+    assert shape == (32, 16, 24)
+    np.testing.assert_array_equal(np.asarray(arr), reader.threshold(127.0))
+
+    # each Z offset requested exactly once, on chunk-aligned boundaries
+    # (chunk=6 rounds up to 8, a multiple of the file's z-chunk extent 4)
+    assert ingest_calls == [(0, 8), (8, 16), (16, 24)]
