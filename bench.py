@@ -113,6 +113,32 @@ def main():
     gbps = n**3 * bytes_per_cell / dt / 1e9
     log(f"matvec: {dt*1e3:.2f} ms -> {gbps:.1f} GB/s (13 B/cell model)")
 
+    # --- numerical gate 1: the COMPILED Pallas matvec vs the XLA decode
+    # path at the bench shape (VERDICT r2: compiled kernels were never
+    # numerically gated — a Mosaic mis-compile would ship a plausible tau).
+    if on_tpu:
+        from openimpala_tpu.ops import stencil
+
+        # fresh bounded input: the timing loop above iterated x = A x, which
+        # overflows float32 after ~40 applies (||A|| ~ 12)
+        x = jnp.where(system.free, linear_ramp(phase.shape, 0, -1.0, 1.0,
+                                               jnp.float32), 0.0)
+        y_prod = apply_jit(system, x)  # Pallas v3 when the contract holds
+
+        def xla_apply(s, v):
+            diag, free = stencil.decode_code(s.code, s.w, v.dtype)
+            return stencil.apply_restricted_xla(v, diag, free, s.w, s.periodic)
+
+        y_ref = jax.jit(xla_apply)(system, x)
+        num = float(sum_jit((y_prod - y_ref) ** 2)) ** 0.5
+        den = float(sum_jit(y_ref ** 2)) ** 0.5 or 1.0
+        rel = num / den
+        log(f"pallas-vs-xla matvec rel l2 diff: {rel:.2e}")
+        # f32 accumulation-order noise measures ~5e-7; a Mosaic mis-compile
+        # would be orders of magnitude above this bound
+        assert rel < 5e-6, f"compiled matvec disagrees with XLA path: {rel}"
+        del y_prod, y_ref
+
     # --- secondary: time-to-tortuosity end to end ---
     del system, x, active_j  # free HBM before the end-to-end run
     from openimpala_tpu.props.tortuosity import tortuosity
@@ -123,6 +149,52 @@ def main():
     t_tau = time.time() - t0
     log(f"time-to-tortuosity ({n}^3, 1e-9): {t_tau:.2f}s  tau={r.value:.6f} "
         f"iters={r.iterations} rel_res={r.rel_res:.2e} conv={r.converged}")
+
+    # --- numerical gate 2: the end-to-end result through the compiled
+    # kernel stack (v3 matvec, fused sweeps, conductance-level V-cycle)
+    # must converge, conserve flux, and land on the pinned value for the
+    # deterministic seed-0 synthetic volume.
+    assert r.converged and r.flux_conserved, (
+        f"bench solve failed: conv={r.converged} flux={r.flux_conserved}")
+    if on_tpu and n == 512:
+        TAU_512_SEED0 = 2.628289  # BENCH_r02.json / BASELINE.md
+        assert abs(r.value - TAU_512_SEED0) / TAU_512_SEED0 < 1e-3, (
+            f"512^3 tau drifted: {r.value} vs pinned {TAU_512_SEED0}")
+
+    # --- numerical gate 3: the bundled 100^3 golden sample on THIS device
+    # through the production mixed-precision path (tests pin it on CPU; a
+    # TPU-only mis-compile would only show here).
+    sample = "/root/reference/SampleData_2Phase_stack_3d_1bit.tif"
+    if on_tpu and os.path.exists(sample):
+        import json as _json
+
+        golden = _json.load(open(os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "tests", "golden_sample_values.json")))
+        from openimpala_tpu.io.tiff import TiffReader
+        from openimpala_tpu.props.effective_diffusivity import (
+            effective_diffusivity,
+        )
+        from openimpala_tpu.props.volume_fraction import volume_fraction
+
+        t0 = time.time()
+        sp = TiffReader(sample).threshold(0.5)
+        vf = volume_fraction(sp, 1)
+        assert abs(vf - golden["vf_phase1"]) < 1e-9, f"VF drift: {vf}"
+        g = tortuosity(sp, 1, 0, eps=1e-9, precond="auto",
+                       inner_dtype=jnp.float32)
+        assert g.converged and g.flux_conserved
+        assert abs(g.value - golden["tau_p1_X"]) / golden["tau_p1_X"] < 1e-6, (
+            f"golden tau drift on TPU: {g.value} vs {golden['tau_p1_X']}")
+        d = effective_diffusivity(sp, 1, eps=1e-9, precond="auto",
+                                  inner_dtype=jnp.float32)
+        assert d.converged
+        np.testing.assert_allclose(np.asarray(d.deff),
+                                   np.asarray(golden["deff_p1"]),
+                                   rtol=1e-6, atol=1e-7)
+        log(f"golden 100^3 gate on TPU: OK ({time.time()-t0:.1f}s; "
+            f"tau={g.value:.8f} vf={vf:.6f})")
+
     log(f"total bench time: {time.time()-t_all:.1f}s")
 
     print(json.dumps({
