@@ -229,9 +229,12 @@ def cg(system, r0, denom, eps, maxiter: int, precond=None,
         precond = IdentityPreconditioner()
     denom = jnp.where(denom > 0, denom, jnp.sqrt(_dot(r0, r0)))
     denom = jnp.where(denom > 0, denom, 1.0)
+    from .sa import SAMGPreconditioner
+
     on_tpu = jax.default_backend() == "tpu"
     big_tpu = r0.size >= HOST_LOOP_THRESHOLD_CELLS and on_tpu
-    if on_tpu and isinstance(precond, GalerkinMGPreconditioner):
+    if on_tpu and isinstance(precond, (GalerkinMGPreconditioner,
+                                       SAMGPreconditioner)):
         # always chunk MG-preconditioned CG on TPU: each dispatch stays short
         # (the remote runtime dies on very long fused MG programs) and the
         # fine-level Pallas kernels are never nested inside a while_loop

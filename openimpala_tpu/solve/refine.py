@@ -75,6 +75,10 @@ def make_precond(sys_, precond, opts=None, method: str = "cg"):
         from .preconditioners import GalerkinMGPreconditioner
 
         return GalerkinMGPreconditioner.from_system(sys_, **opts)
+    if precond in ("sa", "samg"):
+        from .sa import SAMGPreconditioner
+
+        return SAMGPreconditioner.from_system(sys_, **opts)
     return precond
 
 
