@@ -278,6 +278,77 @@ int64_t impala_flood_fill(const int8_t* phase_ok, int64_t nx, int64_t ny,
   return reached;
 }
 
+// ---------------------------------------------------------------------------
+// Seeded INCREMENTAL BFS — the per-shard step of distributed percolation
+// (ops/floodfill.py percolation_mask_sharded): local BFS -> exchange shard
+// boundary planes -> rerun with the neighbours' planes as new seeds.
+//
+// prev_mask carries the reachability accumulated in earlier rounds; it is
+// closed under local 6-connectivity (the previous BFS exhausted it), so
+// only the NEW seeds need expanding and total work across rounds is
+// O(volume + new territory), not O(rounds x volume) of BFS work.
+// seeds: int8 mask of candidate seed cells (typically two boundary planes
+// + the domain face); cells outside phase_ok or already visited are
+// ignored.  mask_out = prev_mask | newly reached.  Returns the number of
+// newly reached cells, or -1 on alloc failure.
+// ---------------------------------------------------------------------------
+int64_t impala_bfs_seeded(const int8_t* phase_ok, const int8_t* prev_mask,
+                          const int8_t* seeds, int64_t nx, int64_t ny,
+                          int64_t nz, int8_t* mask_out) {
+  PaddedVolume v;
+  v.px = nx + 2; v.py = ny + 2; v.pz = nz + 2;
+  v.psy = v.pz; v.psx = v.py * v.pz;
+  try {
+    v.pad.assign(static_cast<size_t>(v.px * v.py * v.pz), 0);
+  } catch (...) {
+    return -1;
+  }
+  // fused pad build: 2 = already visited, 1 = eligible, 0 = blocked/halo
+  for (int64_t i = 0; i < nx; ++i)
+    for (int64_t j = 0; j < ny; ++j) {
+      int8_t* dst = &v.pad[(i + 1) * v.psx + (j + 1) * v.psy + 1];
+      const int64_t off = (i * ny + j) * nz;
+      for (int64_t k = 0; k < nz; ++k)
+        dst[k] = prev_mask[off + k] ? 2 : (phase_ok[off + k] ? 1 : 0);
+    }
+  v.ok = true;
+
+  int64_t reached = 0;
+  // seed frontier from the seeds mask, then expand via the existing BFS
+  // cores (frontier already materialised, so reuse their inner loop shape)
+  std::vector<int64_t> frontier64;
+  for (int64_t i = 0; i < nx; ++i)
+    for (int64_t j = 0; j < ny; ++j) {
+      const int64_t off = (i * ny + j) * nz;
+      const int64_t poff = (i + 1) * v.psx + (j + 1) * v.psy + 1;
+      for (int64_t k = 0; k < nz; ++k)
+        if (seeds[off + k] && v.pad[poff + k] == 1) {
+          v.pad[poff + k] = 2;
+          frontier64.push_back(poff + k);
+          ++reached;
+        }
+    }
+  const int64_t strides[6] = {v.psx, -v.psx, v.psy, -v.psy, 1, -1};
+  std::vector<int64_t> next;
+  next.reserve(frontier64.size() + 64);
+  while (!frontier64.empty()) {
+    next.clear();
+    for (int64_t idx : frontier64) {
+      for (int64_t s : strides) {
+        const int64_t nb = idx + s;
+        if (v.pad[nb] == 1) {
+          v.pad[nb] = 2;
+          next.push_back(nb);
+        }
+      }
+    }
+    frontier64.swap(next);
+    reached += static_cast<int64_t>(frontier64.size());
+  }
+  export_label(v, 2, nx, ny, nz, mask_out);
+  return reached;
+}
+
 // Full percolation mask = reach(lo) AND reach(hi); returns the number of
 // active (percolating) cells, or -1 on alloc failure.
 //

@@ -62,6 +62,8 @@ def get_lib():
         lib.impala_percolation_mask.restype = ctypes.c_int64
         lib.impala_percolation_mask_phase.restype = ctypes.c_int64
         lib.impala_remspot.restype = ctypes.c_int64
+        if hasattr(lib, "impala_bfs_seeded"):
+            lib.impala_bfs_seeded.restype = ctypes.c_int64
         _lib = lib
         return _lib
 
@@ -169,3 +171,26 @@ def remspot(phase: np.ndarray):
         _ptr(out, ctypes.c_int32),
     )
     return out, int(flips)
+
+
+def bfs_seeded(phase_ok: np.ndarray, prev_mask: np.ndarray,
+               seeds: np.ndarray):
+    """Incremental seeded BFS (the per-shard step of distributed
+    percolation): expands ``seeds`` over ``phase_ok`` into ``prev_mask``.
+    Returns ``(mask_out, n_new)`` or None if the library is unavailable."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "impala_bfs_seeded"):
+        return None
+    p = np.ascontiguousarray(phase_ok, np.int8)
+    m = np.ascontiguousarray(prev_mask, np.int8)
+    s = np.ascontiguousarray(seeds, np.int8)
+    out = np.empty(p.shape, np.int8)
+    n = lib.impala_bfs_seeded(
+        _ptr(p, ctypes.c_int8), _ptr(m, ctypes.c_int8),
+        _ptr(s, ctypes.c_int8), ctypes.c_int64(p.shape[0]),
+        ctypes.c_int64(p.shape[1]), ctypes.c_int64(p.shape[2]),
+        _ptr(out, ctypes.c_int8),
+    )
+    if n < 0:
+        return None
+    return out.astype(bool), int(n)

@@ -145,3 +145,109 @@ def percolation_mask(phase, phase_id: int, direction: int, method: str = "auto")
     reach_out, _ = flood_fill_device(phase_ok, seeds_hi)
     active = reach_in & reach_out
     return active, count_true(active) / total
+
+
+def percolation_mask_sharded(phase, phase_id: int, direction: int,
+                             original_shape=None):
+    """Distributed percolation for an X-SHARDED volume: per-shard native
+    BFS + boundary-plane exchange rounds.
+
+    Replaces the synchronous-dilation device fill for pre-sharded volumes
+    (VERDICT r2 item 6): the dilation needs O(sum dims) stencil passes
+    (~3100 at 1024^3) while this runs one linear-time BFS per shard and
+    exchanges only the 2-D boundary reachability planes between X
+    neighbours, repeating until no shard learns anything new —
+    O(#boundary crossings of the pore network) rounds, typically 2-4.
+    The same local-fill + boundary-exchange structure as the reference's
+    parallelFloodFill (``TortuosityHypre.cpp:297-389``), but each local
+    step is a full BFS, not one dilation.
+
+    Single-host only (every shard must be addressable; multi-host callers
+    keep the GSPMD dilation path).  Returns ``(active, active_vf)`` with
+    ``active`` sharded like ``phase``, or None when unavailable (no native
+    library, multi-host, or non-X sharding).
+    """
+    from ..io import native
+
+    if not isinstance(phase, jax.Array) or not hasattr(phase, "sharding"):
+        return None
+    if jax.process_count() > 1:
+        return None
+    if native.get_lib() is None or not hasattr(native.get_lib(),
+                                               "impala_bfs_seeded"):
+        return None
+    shards = sorted(phase.addressable_shards, key=lambda s: s.index[0].start)
+    if len(shards) != len(phase.sharding.device_set):
+        return None  # not fully addressable
+    # contiguous X-slab decomposition only
+    pos = 0
+    for s in shards:
+        if (s.index[0].start != pos or s.index[1] != slice(None, None, None)
+                and s.index[1] != slice(0, phase.shape[1], None)):
+            return None
+        pos = s.index[0].stop
+    if pos != phase.shape[0]:
+        return None
+
+    shape = tuple(original_shape) if original_shape else tuple(phase.shape)
+    n_sh = len(shards)
+    pid = int(phase_id)
+    phase_np = [np.asarray(s.data) for s in shards]
+    phase_ok = [(p == pid).astype(np.int8) for p in phase_np]
+    x_starts = [s.index[0].start for s in shards]
+    x_stops = [s.index[0].stop for s in shards]
+
+    def run_pass(seed_hi: bool):
+        masks = [np.zeros_like(p, dtype=np.int8) for p in phase_ok]
+        seeds = [np.zeros_like(p, dtype=np.int8) for p in phase_ok]
+        face = shape[direction] - 1 if seed_hi else 0
+        pending = set()
+        for i in range(n_sh):
+            if direction == 0:
+                if x_starts[i] <= face < x_stops[i]:
+                    seeds[i][face - x_starts[i], :, :] = 1
+                    pending.add(i)
+            else:
+                sl = [slice(None)] * 3
+                sl[direction] = face
+                seeds[i][tuple(sl)] = 1
+                pending.add(i)
+        while pending:
+            nxt_pending = set()
+            for i in sorted(pending):
+                res = native.bfs_seeded(phase_ok[i], masks[i], seeds[i])
+                mask_new, n_new = res
+                seeds[i][:] = 0
+                if n_new == 0:
+                    masks[i] = mask_new.astype(np.int8)
+                    continue
+                masks[i] = mask_new.astype(np.int8)
+                # export boundary reachability planes to X neighbours
+                if i + 1 < n_sh:
+                    plane = masks[i][-1]
+                    tgt = (plane.astype(bool) & phase_ok[i + 1][0].astype(bool)
+                           & ~masks[i + 1][0].astype(bool))
+                    if tgt.any():
+                        seeds[i + 1][0] |= tgt
+                        nxt_pending.add(i + 1)
+                if i > 0:
+                    plane = masks[i][0]
+                    tgt = (plane.astype(bool) & phase_ok[i - 1][-1].astype(bool)
+                           & ~masks[i - 1][-1].astype(bool))
+                    if tgt.any():
+                        seeds[i - 1][-1] |= tgt
+                        nxt_pending.add(i - 1)
+            pending = nxt_pending
+        return masks
+
+    lo_masks = run_pass(False)
+    hi_masks = run_pass(True)
+    active_np = [(lo & hi).astype(bool)
+                 for lo, hi in zip(lo_masks, hi_masks)]
+    n_active = sum(int(a.sum()) for a in active_np)
+
+    devices = [s.device for s in shards]
+    parts = [jax.device_put(a, d) for a, d in zip(active_np, devices)]
+    active = jax.make_array_from_single_device_arrays(
+        phase.shape, phase.sharding, parts)
+    return active, n_active / float(np.prod(shape))

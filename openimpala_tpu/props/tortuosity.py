@@ -125,26 +125,35 @@ def tortuosity(
         # device-resident percolation on the sharded volume: the ingest
         # padding (PAD_FILL cells) is outside every phase, so seeds at the
         # ORIGINAL faces and 6-neighbour dilation leave it inactive.
-        from ..ops.floodfill import flood_fill_device
+        from ..ops.floodfill import flood_fill_device, percolation_mask_sharded
 
         mesh = phase.sharding.mesh
         outlet = shape[direction] - 1  # original domain face
         solve_shape = padded_shape
         storage = dtype if inner_dtype is None else inner_dtype
         with phase_timer("tortuosity/percolation_mask"):
-            phase_ok = phase == phase_id
-            lo_sl = [slice(None)] * 3
-            lo_sl[direction] = 0
-            hi_sl = [slice(None)] * 3
-            hi_sl[direction] = outlet
-            seeds_lo = jnp.zeros(padded_shape, bool).at[tuple(lo_sl)].set(True)
-            seeds_hi = jnp.zeros(padded_shape, bool).at[tuple(hi_sl)].set(True)
-            reach_in, _ = flood_fill_device(phase_ok, seeds_lo)
-            reach_out, _ = flood_fill_device(phase_ok, seeds_hi)
-            active_j = reach_in & reach_out
-            from ..utils.common import count_true
+            # fast path: per-shard native BFS + boundary-plane exchange
+            # (linear work; the dilation below needs O(sum dims) passes)
+            res = percolation_mask_sharded(phase, phase_id, direction,
+                                           original_shape=shape)
+            if res is not None:
+                active_j, active_vf = res
+            else:
+                phase_ok = phase == phase_id
+                lo_sl = [slice(None)] * 3
+                lo_sl[direction] = 0
+                hi_sl = [slice(None)] * 3
+                hi_sl[direction] = outlet
+                seeds_lo = (jnp.zeros(padded_shape, bool)
+                            .at[tuple(lo_sl)].set(True))
+                seeds_hi = (jnp.zeros(padded_shape, bool)
+                            .at[tuple(hi_sl)].set(True))
+                reach_in, _ = flood_fill_device(phase_ok, seeds_lo)
+                reach_out, _ = flood_fill_device(phase_ok, seeds_hi)
+                active_j = reach_in & reach_out
+                from ..utils.common import count_true
 
-            active_vf = count_true(active_j) / int(np.prod(shape))
+                active_vf = count_true(active_j) / int(np.prod(shape))
         active = active_j
         warm = None
         # X padding only: for direction X the outlet Dirichlet plane must

@@ -315,3 +315,49 @@ def test_hdf5_ingest_reads_each_slab_once(tmp_path, rng):
     # each Z offset requested exactly once, on chunk-aligned boundaries
     # (chunk=6 rounds up to 8, a multiple of the file's z-chunk extent 4)
     assert ingest_calls == [(0, 8), (8, 16), (16, 24)]
+
+
+def test_percolation_mask_sharded_matches_host(rng):
+    """Per-shard native BFS + boundary-plane exchange (VERDICT r2 item 6)
+    must reproduce the host connected-components mask, including a snake
+    geometry whose pore path crosses shard boundaries repeatedly (multiple
+    exchange rounds)."""
+    from openimpala_tpu.io import native
+    from openimpala_tpu.ops.floodfill import (percolation_mask,
+                                              percolation_mask_sharded)
+    from openimpala_tpu.parallel.mesh import shard_volume
+
+    if native.get_lib() is None:
+        pytest.skip("native library unavailable")
+
+    # snake: a 1-voxel channel zig-zagging along X through all shards
+    n = 32
+    phase = np.zeros((n, 16, 12), np.int8)
+    y = 2
+    for x in range(n):
+        phase[x, y, 5] = 1
+        if x % 4 == 3:  # jog sideways at shard-boundary-ish pitch
+            y = (y + 3) % 14
+            phase[x, min(y, 2 + (x * 3) % 12):max(y, 2 + (x * 3) % 12) + 1,
+                  5] = 1
+    # plus random blobs
+    phase |= (rng.random(phase.shape) < 0.3).astype(np.int8)
+    phase[:, 8, 8] = 1  # guaranteed percolation
+
+    mesh = make_mesh(n_devices=8)
+    phase_sh = shard_volume(jnp.asarray(phase), mesh)
+    res = percolation_mask_sharded(phase_sh, 1, 0)
+    assert res is not None, "sharded BFS path unavailable"
+    active_sh, vf_sh = res
+    assert active_sh.sharding == phase_sh.sharding
+
+    active_host, vf_host = percolation_mask(phase, 1, 0, method="host")
+    np.testing.assert_array_equal(np.asarray(active_sh), active_host)
+    assert vf_sh == pytest.approx(vf_host, abs=1e-12)
+
+    # Y direction too (face seeds live in every shard)
+    res_y = percolation_mask_sharded(phase_sh, 1, 1)
+    a_y, vf_y = res_y
+    ah_y, vfh_y = percolation_mask(phase, 1, 1, method="host")
+    np.testing.assert_array_equal(np.asarray(a_y), ah_y)
+    assert vf_y == pytest.approx(vfh_y, abs=1e-12)
