@@ -139,3 +139,19 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def extra_exact_l1():
+    """sa-first with EXACT level-1 solve: the ceiling a stronger cycle
+    below level 1 (W/K-cycle) could approach without deeper SA."""
+    free = porous_mask(N, POROSITY, SEED)
+    A, idx, free = assemble(free)
+    coords = np.stack(np.nonzero(free), axis=1)
+    levels, _ = build_hierarchy(A, coords, free.shape, 1, max_levels=1,
+                                min_n=0)
+    A0, Ps = levels[0]
+    measure("sa1-exactL1", A, [(A0, Ps)], (Ps.T @ A0 @ Ps).tocsr())
+
+
+if __name__ == "__main__" and os.environ.get("EXACT_L1") == "1":
+    extra_exact_l1()
