@@ -153,19 +153,22 @@ def batched_cell_problems(masks, direction_k: int, eps: float, maxiter: int,
     return chi, rel, rel <= eps
 
 
-def _auto_group_size(crop_shape, requested=None):
+def _auto_group_size(crop_shape, requested=None, budget_bytes=None):
     """Crops per device group: the refinement pipeline holds ~10 f32-field
     equivalents per crop (r0_b, f64 accumulator + outer residual, CG state,
-    chi); size groups to ~10 GiB so 64 x 256^3 streams through one chip."""
+    chi); size groups to ~10 GiB so 64 x 256^3 streams through one chip.
+    ``budget_bytes`` overrides the HBM budget (tests exercise the grouping
+    at CI-sized crops with a shrunken budget)."""
     if requested is not None:
         return max(1, int(requested))
     crop_bytes = int(np.prod(crop_shape)) * 4
-    budget = 10 * 1024 ** 3
+    budget = 10 * 1024 ** 3 if budget_bytes is None else int(budget_bytes)
     return max(1, budget // (10 * crop_bytes))
 
 
 def batched_deff(crops, phase_id: int, eps: float = 1e-9, maxiter: int = 20000,
-                 dx=(1.0, 1.0, 1.0), group_size=None, verbose: int = 0, **kw):
+                 dx=(1.0, 1.0, 1.0), group_size=None, verbose: int = 0,
+                 budget_bytes=None, **kw):
     """D_eff tensors for a (B, n, n, n) stack of phase crops, streamed in
     HBM-sized groups.
 
@@ -173,7 +176,7 @@ def batched_deff(crops, phase_id: int, eps: float = 1e-9, maxiter: int = 20000,
     """
     crops = np.asarray(crops)
     B = crops.shape[0]
-    G = _auto_group_size(crops.shape[1:], group_size)
+    G = _auto_group_size(crops.shape[1:], group_size, budget_bytes)
     deffs = np.zeros((B, 3, 3))
     convs = np.zeros((B,), bool)
     n_total = int(np.prod(crops.shape[1:]))

@@ -236,7 +236,13 @@ class SAMGPreconditioner:
 
     @classmethod
     def from_system(cls, system, max_levels: int = 16, sa_depth: int = 2,
-                    omega: float = 0.9, **kw):
+                    omega: float = 0.9, coeff_dtype="auto", **kw):
+        """``coeff_dtype``: storage dtype for the probed coarse coefficient
+        arrays.  "auto" = bfloat16 on TPU (the 33-offset level-1 stencil at
+        512^3 costs 2.2 GiB in f32 and OOMed a 16 GiB v5e together with the
+        solver state; bf16 halves it, and a slightly quantised — but fixed,
+        hence still SPD — V-cycle costs ~no iterations), full precision
+        elsewhere."""
         fine = MGLevel(code=system.code, w=system.w,
                        periodic=system.periodic, diag_full=system.diag_full)
         dtype = system.r0_b.dtype
@@ -244,6 +250,9 @@ class SAMGPreconditioner:
         shape = system.code.shape
         periodic = system.periodic
         om = float(kw.pop("om_sa", OM_SA))
+        if coeff_dtype == "auto":
+            coeff_dtype = (jnp.bfloat16 if jax.default_backend() == "tpu"
+                           else None)
 
         levels = []
         # --- level 0 -> 1: SA around the fused fine operator -------------
@@ -274,6 +283,17 @@ class SAMGPreconditioner:
             levels.append(lvl)
             cur_sup = nxt_sup
             shape = tuple(s // 2 for s in shape)
+
+        if coeff_dtype is not None:
+            # downcast AFTER the whole hierarchy is built: probing deeper
+            # levels through an already-quantised parent would compound the
+            # rounding; one final cast only quantises the stored operator
+            cast = jnp.dtype(coeff_dtype)
+            levels = [
+                OffsetLevel(coeffs=tuple(c.astype(cast) for c in l.coeffs),
+                            offsets=l.offsets)
+                for l in levels
+            ]
 
         return cls(fine=fine, dinv0=dinv0, levels=tuple(levels),
                    sa_depth=int(sa_depth), omega=float(omega), om_sa=om,
