@@ -89,6 +89,16 @@ def effective_diffusivity(
         n_active = int(active_np.sum())
         mesh = resolve_mesh(mesh, phase.shape)
         if mesh is not None and phase.shape[0] % mesh.devices.size != 0:
+            # always announce the fallback: a large-volume multi-device user
+            # whose X extent doesn't divide the mesh would otherwise get a
+            # single-device OOM with no hint (VERDICT r2)
+            import sys
+
+            print(
+                f"  WARNING: X={phase.shape[0]} not divisible by "
+                f"{mesh.devices.size} devices; periodic cell problem cannot "
+                "be padded - falling back to single-device (crop X to a "
+                "multiple of the device count to shard)", file=sys.stderr)
             mesh = None  # periodic domain: no padding possible
         if mesh is not None:
             active = shard_volume(jnp.asarray(active_np), mesh)

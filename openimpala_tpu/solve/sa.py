@@ -126,38 +126,106 @@ def _shift(x, o):
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class OffsetLevel:
-    """Variable-coefficient stencil  (A x)(i) = sum_o c_o(i) x(i+o)."""
+    """Variable-coefficient stencil  (A x)(i) = sum_o c_o(i) x(i+o).
 
-    coeffs: Tuple[jax.Array, ...]
+    Coefficients live PACKED as one (X, T, Y, Z) array in the canonical
+    ``ops.offset_pallas.order_offsets`` order ((0,0,0) at t=0, then the
+    rest of the l_inf<=1 ball — the filtered-smoother prefix — then wider
+    taps).  On TPU, apply/resid/sweep dispatch to the packed-stream Pallas
+    kernel (ops/offset_pallas.py); the XLA roll path covers every other
+    case and is the parity reference.
+    """
+
+    packed: jax.Array
     offsets: tuple = dataclasses.field(metadata=dict(static=True))
+    nn: int = dataclasses.field(default=0, metadata=dict(static=True))
+
+    @classmethod
+    def from_coeffs(cls, coeffs, offsets):
+        from ..ops.offset_pallas import order_offsets
+
+        ordered, nn = order_offsets(offsets)
+        by_offset = dict(zip(offsets, coeffs))
+        packed = jnp.stack([by_offset[o] for o in ordered], axis=1)
+        return cls(packed=packed, offsets=ordered, nn=nn)
+
+    @property
+    def coeffs(self):
+        return tuple(self.packed[:, t] for t in range(len(self.offsets)))
 
     @property
     def diag(self):
-        return self.coeffs[self.offsets.index((0, 0, 0))]
+        return self.packed[:, self.offsets.index((0, 0, 0))]
 
     @property
     def free(self):
         return self.diag > 0
 
+    def _pallas_ok(self, x, n_taps):
+        from ..ops import stencil as _st
+        from ..ops import offset_pallas as _op
+
+        used = self.offsets[:n_taps]
+        R = max(abs(o[0]) for o in used)
+        return (_st._PALLAS_MODE != "0"
+                and _op.supports(x.shape, n_taps, R, x.dtype,
+                                 self.packed.dtype))
+
+    def _dispatch(self, x, mode, r=None, omega=0.9, n_taps=None):
+        from ..ops import offset_pallas as _op
+
+        n = len(self.offsets) if n_taps is None else n_taps
+        if self._pallas_ok(x, n):
+            return _op.offset_stencil_pallas(x, self.packed, self.offsets,
+                                             n_taps=n, mode=mode, r=r,
+                                             omega=omega)
+        return None
+
     def apply(self, x):
+        out = self._dispatch(x, "apply")
+        if out is not None:
+            return out
+        return self.apply_xla(x)
+
+    def apply_xla(self, x):
+        """The pure-XLA roll form — always available; probe programs pin it
+        when building THROUGH an operator inside fori_loop control flow."""
         out = jnp.zeros_like(x)
-        for o, c in zip(self.offsets, self.coeffs):
-            out = out + c.astype(x.dtype) * _shift(x, o)
+        for o, t in zip(self.offsets, range(len(self.offsets))):
+            out = out + self.packed[:, t].astype(x.dtype) * _shift(x, o)
         return out
 
     def apply_sub(self, x, keep):
-        """Apply only the offsets in ``keep`` (the filtered smoother)."""
+        """Apply only the offsets in ``keep`` (the filtered smoother).
+
+        When ``keep`` is exactly the NN prefix (the only production caller),
+        the kernel fetches just the leading block of the packed stream."""
+        if set(keep) == set(self.offsets[: self.nn]):
+            out = self._dispatch(x, "apply", n_taps=self.nn)
+            if out is not None:
+                return out
         out = jnp.zeros_like(x)
-        for o, c in zip(self.offsets, self.coeffs):
+        for o, t in zip(self.offsets, range(len(self.offsets))):
             if o in keep:
-                out = out + c.astype(x.dtype) * _shift(x, o)
+                out = out + self.packed[:, t].astype(x.dtype) * _shift(x, o)
         return out
 
+    def resid(self, x, r):
+        """free-masked residual: where(free, r - A x, 0)."""
+        out = self._dispatch(x, "resid", r=r)
+        if out is not None:
+            return out
+        return jnp.where(self.free, r - self.apply_xla(x),
+                         jnp.zeros((), x.dtype))
+
     def sweep(self, x, r, omega: float):
+        out = self._dispatch(x, "sweep", r=r, omega=omega)
+        if out is not None:
+            return out
         d = self.diag.astype(r.dtype)
         inv_d = jnp.where(d > 0, jnp.asarray(omega, r.dtype)
                           / jnp.where(d > 0, d, 1.0), jnp.zeros((), r.dtype))
-        return x + inv_d * (r - self.apply(x))
+        return x + inv_d * (r - self.apply_xla(x))
 
 
 # ---------------------------------------------------------------------------
@@ -289,11 +357,8 @@ class SAMGPreconditioner:
             # levels through an already-quantised parent would compound the
             # rounding; one final cast only quantises the stored operator
             cast = jnp.dtype(coeff_dtype)
-            levels = [
-                OffsetLevel(coeffs=tuple(c.astype(cast) for c in l.coeffs),
-                            offsets=l.offsets)
-                for l in levels
-            ]
+            levels = [dataclasses.replace(l, packed=l.packed.astype(cast))
+                      for l in levels]
 
         return cls(fine=fine, dinv0=dinv0, levels=tuple(levels),
                    sa_depth=int(sa_depth), omega=float(omega), om_sa=om,
@@ -311,22 +376,33 @@ class SAMGPreconditioner:
         return x
 
     def _lvl_smooth(self, lvl, x, r, n: int):
-        """OffsetLevel damped-Jacobi sweeps as a fori_loop: the coarse
-        applies are pure-XLA rolls (no Pallas), so looping is safe, and it
-        keeps the compile size at one apply per level instead of
-        ``n * len(offsets)`` unrolled rolls (50 coarsest sweeps x 125
+        """OffsetLevel damped-Jacobi sweeps.
+
+        Few sweeps (nu1/nu2) unroll so each dispatches the fused Pallas
+        sweep kernel; many sweeps (the coarsest level, always below the
+        kernel's layout contract) run as a fori_loop over the pure-XLA
+        apply, which keeps the compile size at one apply per level instead
+        of ``n * len(offsets)`` unrolled rolls (50 coarsest sweeps x 125
         offsets froze the XLA optimizer when unrolled)."""
+        if x is None:
+            d = lvl.diag.astype(r.dtype)
+            inv_d0 = jnp.where(d > 0, jnp.asarray(self.omega, r.dtype)
+                               / jnp.where(d > 0, d, 1.0),
+                               jnp.zeros((), r.dtype))
+            x = inv_d0 * r
+            n -= 1
+        if n <= 0:
+            return x
+        if n <= 4:
+            for _ in range(n):
+                x = lvl.sweep(x, r, self.omega)
+            return x
         d = lvl.diag.astype(r.dtype)
         inv_d = jnp.where(d > 0, jnp.asarray(self.omega, r.dtype)
                           / jnp.where(d > 0, d, 1.0),
                           jnp.zeros((), r.dtype))
-        if x is None:
-            x = inv_d * r
-            n -= 1
-        if n <= 0:
-            return x
         return jax.lax.fori_loop(
-            0, n, lambda i, v: v + inv_d * (r - lvl.apply(v)), x)
+            0, n, lambda i, v: v + inv_d * (r - lvl.apply_xla(v)), x)
 
     # -- SA transfers ------------------------------------------------------
 
@@ -397,8 +473,7 @@ class SAMGPreconditioner:
         x = self._lvl_smooth(lvl, None, r, self.nu1)
         n_corr = 2 if (self.cycle == "w" and 1 <= idx <= self.w_depth) else 1
         for _ in range(n_corr):
-            resid = jnp.where(lvl.free, r - lvl.apply(x),
-                              jnp.zeros((), dtype))
+            resid = lvl.resid(x, r)
             rc = self._restrict_l(idx, resid)
             rc = jnp.where(self.levels[idx].free, rc, jnp.zeros((), dtype))
             ec = self._vcycle(idx + 1, rc)
@@ -487,4 +562,5 @@ def _prune(coeffs, sup):
     keep = [i for i, o in enumerate(sup) if mx[i] > 0 or o == (0, 0, 0)]
     new_sup = tuple(sup[i] for i in keep)
     new_coeffs = tuple(coeffs[i] for i in keep)
-    return OffsetLevel(coeffs=new_coeffs, offsets=new_sup), new_sup
+    lvl = OffsetLevel.from_coeffs(new_coeffs, new_sup)
+    return lvl, lvl.offsets

@@ -187,3 +187,89 @@ def test_restrict_mode_matches_blocksum(shape, rng):
                                system.w, system.periodic, interpret=True)
     assert got.shape == (shape[0] // 2, shape[1] // 2, shape[2] // 2)
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# offset-stencil kernel (SA-MG coarse levels, ops/offset_pallas.py)
+# ---------------------------------------------------------------------------
+
+
+def _random_offset_level(rng, shape, taps=33):
+    """Synthetic packed offset stencil with the SA level-1 support shape:
+    l_inf<=1 ball + axial +-2 taps, random coefficients (some non-positive
+    diagonals, to exercise the resid/sweep masking)."""
+    from openimpala_tpu.solve.sa import OffsetLevel
+
+    sup = sorted(set(
+        [(i, j, k) for i in (-1, 0, 1) for j in (-1, 0, 1)
+         for k in (-1, 0, 1)]
+        + [(2, 0, 0), (-2, 0, 0), (0, 2, 0), (0, -2, 0), (0, 0, 2),
+           (0, 0, -2)]))[:taps]
+    coeffs = []
+    for o in sup:
+        c = rng.standard_normal(shape)
+        if o == (0, 0, 0):
+            # diag bounded away from (0, 0.3): tiny positive diagonals turn
+            # omega/d into a huge factor that amplifies f32 rounding beyond
+            # any sensible parity tolerance; keep exact zeros (mask coverage)
+            c = np.where(np.abs(c) < 0.3, 0.0, 3.0 * c)
+        coeffs.append(jnp.asarray(c, jnp.float32))
+    return OffsetLevel.from_coeffs(tuple(coeffs), tuple(sup))
+
+
+@pytest.mark.parametrize("mode", ["apply", "resid", "sweep"])
+def test_offset_kernel_matches_xla(mode, rng):
+    from openimpala_tpu.ops.offset_pallas import offset_stencil_pallas
+
+    shape = (8, 16, 128)
+    lvl = _random_offset_level(rng, shape)
+    x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    r = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+
+    if mode == "apply":
+        want = np.asarray(lvl.apply_xla(x))
+    elif mode == "resid":
+        want = np.asarray(jnp.where(lvl.free, r - lvl.apply_xla(x), 0.0))
+    else:
+        d = lvl.diag
+        inv_d = jnp.where(d > 0, 0.9 / jnp.where(d > 0, d, 1.0), 0.0)
+        want = np.asarray(x + inv_d * (r - lvl.apply_xla(x)))
+    got = np.asarray(offset_stencil_pallas(
+        x, lvl.packed, lvl.offsets, mode=mode,
+        r=None if mode == "apply" else r, omega=0.9, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_offset_kernel_nn_prefix_subset(rng):
+    """n_taps=nn must equal apply_sub with the NN filter (the filtered
+    smoother's contract: the packed order puts the l_inf<=1 ball first)."""
+    from openimpala_tpu.ops.offset_pallas import offset_stencil_pallas
+
+    shape = (8, 16, 128)
+    lvl = _random_offset_level(rng, shape)
+    nn_set = tuple(o for o in lvl.offsets if max(abs(c) for c in o) <= 1)
+    assert set(lvl.offsets[: lvl.nn]) == set(nn_set)
+    x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+
+    want = jnp.zeros_like(x)
+    for t, o in enumerate(lvl.offsets):
+        if o in nn_set:
+            want = want + lvl.packed[:, t] * jnp.roll(
+                x, (-o[0], -o[1], -o[2]), axis=(0, 1, 2))
+    got = np.asarray(offset_stencil_pallas(
+        x, lvl.packed, lvl.offsets, n_taps=lvl.nn, mode="apply",
+        interpret=True))
+    np.testing.assert_allclose(got, np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+def test_offset_level_bf16_packed_dispatch_consistency(rng):
+    """The packed refactor must leave the XLA path's semantics intact:
+    coeffs property round-trips and apply == sum of rolled multiplies."""
+    shape = (8, 16, 128)
+    lvl = _random_offset_level(rng, shape)
+    x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    want = jnp.zeros_like(x)
+    for o, c in zip(lvl.offsets, lvl.coeffs):
+        want = want + c * jnp.roll(x, (-o[0], -o[1], -o[2]), axis=(0, 1, 2))
+    np.testing.assert_allclose(np.asarray(lvl.apply(x)), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
