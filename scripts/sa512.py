@@ -21,10 +21,12 @@ log(f"phase ready {n}^3")
 # NOTE (measured, r3): SA W-cycle at 512^3 OOMs the 16 GiB v5e inside the
 # chunked fused CG program (two corrections/level -> deeper live temporaries);
 # the V-cycle already lands 62 iters, so W stays a small-volume option.
-configs = {"gmg": ("gmg", None), "sa": ("sa", None),
-           "saw": ("sa", {"cycle": "w"})}
+configs = {"gmg": ("gmg", None), "gmgw": ("gmg", {"cycle": "w"}),
+           "sa": ("sa", None), "saw": ("sa", {"cycle": "w"}),
+           "sa1": ("sa", {"nu1": 1, "nu2": 1})}
 sel = os.environ.get("ONLY")
-configs = [configs[sel]] if sel else [configs["gmg"], configs["sa"]]
+configs = ([configs[k] for k in sel.split(",")] if sel
+           else [configs["gmg"], configs["sa"]])
 for pc, opts in configs:
     t0 = time.time()
     r = tortuosity(phase, 1, 0, eps=1e-9, precond=pc, precond_opts=opts,

@@ -361,3 +361,26 @@ def test_percolation_mask_sharded_matches_host(rng):
     ah_y, vfh_y = percolation_mask(phase, 1, 1, method="host")
     np.testing.assert_array_equal(np.asarray(a_y), ah_y)
     assert vf_y == pytest.approx(vfh_y, abs=1e-12)
+
+
+def test_tortuosity_driver_sharded_sa_matches_single(rng):
+    """The PRODUCTION driver with precond="sa" (smoothed-aggregation MG,
+    packed OffsetLevel coarse operators) over the mesh must reproduce the
+    single-device SA result — certifies the sharded build (probing under
+    GSPMD) and V-cycle of the round-3 coarse space end to end.  Reference
+    counterpart: rank-count-independent results (Diffusion.cpp:174)."""
+    from openimpala_tpu.props.tortuosity import tortuosity
+
+    phase = (rng.random((32, 16, 16)) < 0.75).astype(np.int32)
+    phase[:, 8, 8] = 1  # guarantee percolation along X
+
+    r_single = tortuosity(phase, 1, 0, eps=1e-9, mesh=None, precond="sa",
+                          percolation_method="host")
+    mesh = make_mesh(n_devices=8)
+    r_sharded = tortuosity(phase, 1, 0, eps=1e-9, mesh=mesh, precond="sa",
+                           percolation_method="host")
+
+    assert r_single.converged and r_sharded.converged
+    assert r_sharded.flux_conserved
+    assert abs(r_sharded.value - r_single.value) < 1e-7
+    assert r_sharded.iterations == r_single.iterations
