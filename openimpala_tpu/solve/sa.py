@@ -233,16 +233,21 @@ class OffsetLevel:
 # ---------------------------------------------------------------------------
 
 
-def _probe_galerkin(apply_cc, shape_c, offsets, spacing, dtype):
-    """Coefficients of the coarse-grid operator ``apply_cc`` (known support
-    ``offsets``): for each lattice phase phi, y = A x_phi sums exactly one
-    in-support column per cell, so c_o(I) = y_{(I+o) mod s}(I).
+# Phases per device dispatch: each probe phase chains ~3 operator applies
+# (Pallas kernels on the fine level), and the TPU worker dies when a single
+# dispatch chains hundreds of kernel invocations (measured: the periodic
+# cell problem's 512-phase lattice at 512^3 crashed the worker; the
+# 125-phase clamped case survived).  64 keeps every dispatch well under the
+# threshold; the host loop between chunks costs microseconds.
+_PROBE_CHUNK = 64
 
-    One jitted fori_loop over the spacing^3 phases; coefficients accumulate
-    as loop state (masked adds), so the program is one compile of the probe
-    body regardless of phase count."""
+
+def _probe_chunk(apply_cc, shape_c, offsets, spacing, dtype, p0, n, coeffs):
+    """Accumulate probe phases [p0, p0+n) into ``coeffs`` (one fori_loop).
+
+    For each lattice phase phi, y = A x_phi sums exactly one in-support
+    column per cell, so c_o(I) = y_{(I+o) mod s}(I)."""
     sx, sy, sz = spacing
-    n_phases = sx * sy * sz
     ii, jj, kk = jnp.meshgrid(
         jnp.arange(shape_c[0]), jnp.arange(shape_c[1]),
         jnp.arange(shape_c[2]), indexing="ij")
@@ -263,8 +268,7 @@ def _probe_galerkin(apply_cc, shape_c, offsets, spacing, dtype):
             new.append(c + jnp.where(m, y, jnp.zeros((), dtype)))
         return tuple(new)
 
-    init = tuple(jnp.zeros(shape_c, dtype) for _ in offs)
-    return jax.lax.fori_loop(0, n_phases, body, init)
+    return jax.lax.fori_loop(p0, p0 + n, body, tuple(coeffs))
 
 
 # ---------------------------------------------------------------------------
@@ -328,7 +332,9 @@ class SAMGPreconditioner:
         cur_sup = _coarsen_support(_minkowski(_minkowski(sup0, sup0), sup0))
         if _can_coarsen(shape):
             spacing = _spacing(cur_sup, shape, periodic)
-            coeffs = _probe_l0_jit(fine, dinv0, free0, cur_sup, spacing, om)
+            coeffs = _probe_chunked(
+                _probe_l0_jit, tuple(s // 2 for s in shape), cur_sup,
+                spacing, dtype, fine, dinv0, free0, cur_sup, spacing, om)
             lvl, cur_sup = _prune(coeffs, cur_sup)
             levels.append(lvl)
             shape = tuple(s // 2 for s in shape)
@@ -346,7 +352,9 @@ class SAMGPreconditioner:
                 smo_sup = None
                 nxt_sup = _coarsen_support(cur_sup)
             spacing = _spacing(nxt_sup, shape, periodic)
-            coeffs = _probe_deep_jit(top, nxt_sup, spacing, om, smo_sup)
+            coeffs = _probe_chunked(
+                _probe_deep_jit, tuple(s // 2 for s in shape), nxt_sup,
+                spacing, top.diag.dtype, top, nxt_sup, spacing, om, smo_sup)
             lvl, nxt_sup = _prune(coeffs, nxt_sup)
             levels.append(lvl)
             cur_sup = nxt_sup
@@ -508,8 +516,8 @@ def _fine_dinv(fine, proto):
 # remote-compile payload limit at 512^3 (CLAUDE.md design invariant).
 
 
-@partial(jax.jit, static_argnames=("sup", "spacing", "om"))
-def _probe_l0_jit(fine, dinv0, free0, sup, spacing, om):
+@partial(jax.jit, static_argnames=("sup", "spacing", "om", "n"))
+def _probe_l0_jit(fine, dinv0, free0, sup, spacing, om, p0, n, coeffs):
     dtype = dinv0.dtype
     shape_c = tuple(s // 2 for s in dinv0.shape)
 
@@ -521,11 +529,12 @@ def _probe_l0_jit(fine, dinv0, free0, sup, spacing, om):
         stq = q - om * fine.apply(dinv0 * q)
         return _blocksum(stq)
 
-    return _probe_galerkin(apply_cc, shape_c, sup, spacing, dtype)
+    return _probe_chunk(apply_cc, shape_c, sup, spacing, dtype, p0, n,
+                        coeffs)
 
 
-@partial(jax.jit, static_argnames=("sup", "spacing", "om", "smo"))
-def _probe_deep_jit(top, sup, spacing, om, smo):
+@partial(jax.jit, static_argnames=("sup", "spacing", "om", "smo", "n"))
+def _probe_deep_jit(top, sup, spacing, om, smo, p0, n, coeffs):
     dtype = top.diag.dtype
     shape_c = tuple(s // 2 for s in top.diag.shape)
     if smo is not None:
@@ -547,7 +556,20 @@ def _probe_deep_jit(top, sup, spacing, om, smo):
             p = jnp.where(top.free, p, jnp.zeros((), dtype))
             return _blocksum(top.apply(p))
 
-    return _probe_galerkin(apply_cc, shape_c, sup, spacing, dtype)
+    return _probe_chunk(apply_cc, shape_c, sup, spacing, dtype, p0, n,
+                        coeffs)
+
+
+def _probe_chunked(jit_fn, shape_c, sup, spacing, dtype, *args):
+    """Host loop over _PROBE_CHUNK-phase dispatches (see _PROBE_CHUNK).
+    At most two distinct programs compile: the full chunk and the
+    remainder."""
+    n_phases = spacing[0] * spacing[1] * spacing[2]
+    coeffs = tuple(jnp.zeros(shape_c, dtype) for _ in sup)
+    for p0 in range(0, n_phases, _PROBE_CHUNK):
+        n = min(_PROBE_CHUNK, n_phases - p0)
+        coeffs = jit_fn(*args, p0=jnp.int32(p0), n=n, coeffs=coeffs)
+    return coeffs
 
 
 def _prune(coeffs, sup):
