@@ -70,6 +70,69 @@ def flood_fill_device(phase_ok, seeds, max_iter: int | None = None):
     return mask.astype(bool), iters
 
 
+def _sweep_axis(reach, open_, axis: int, reverse: bool):
+    """One directional raster sweep: propagate reachability along ``axis``
+    (forward, or backward when ``reverse``) through open cells.
+
+    reach'[i] = open[i] & (reach[i] | reach'[i-1]) — the whole line resolves
+    in ONE pass via two segmented running maxima instead of O(N) dilation
+    steps: a cell is newly reached iff some reached cell sits at or before it
+    in the line with no blocked cell in between, i.e.
+    ``last_reached_pos >= last_blocked_pos``.
+    """
+    n = reach.shape[axis]
+    idx = jax.lax.broadcasted_iota(jnp.int32, reach.shape, axis)
+    if reverse:
+        idx = n - 1 - idx
+    neg = jnp.asarray(-1, jnp.int32)
+    last_reached = jax.lax.cummax(jnp.where(reach, idx, neg), axis=axis,
+                                  reverse=reverse)
+    last_blocked = jax.lax.cummax(jnp.where(open_, neg, idx), axis=axis,
+                                  reverse=reverse)
+    return open_ & (last_reached > last_blocked)
+
+
+def flood_fill_device_raster(phase_ok, seeds, max_rounds: int | None = None):
+    """Raster-scan flood fill on device: alternating ±X/±Y/±Z segmented-scan
+    sweeps until a fixed point.
+
+    Each round performs 6 directional sweeps (each one fused cummax pass, so
+    ~O(1) volume passes per round); a round subsumes at least one 6-neighbour
+    dilation step, so the fixed point equals BFS reachability, but porous
+    media converge in ~the number of direction changes of the hardest path
+    (typically 10-40 rounds at 512^3) instead of O(sum dims) ~ 1500 dilation
+    passes.  TPU-native replacement for the host BFS in one-shot solves:
+    the volume never round-trips to the host.  Reference counterpart:
+    synchronous-Jacobi parallelFloodFill, ``TortuosityHypre.cpp:297-389``.
+    """
+    open_ = phase_ok.astype(bool)
+    reach0 = seeds.astype(bool) & open_
+    if max_rounds is None:
+        max_rounds = int(sum(open_.shape)) + 2
+
+    def one_round(reach):
+        for axis in (0, 1, 2):
+            for reverse in (False, True):
+                reach = _sweep_axis(reach, open_, axis, reverse)
+        return reach
+
+    def cond(state):
+        _, n_prev, n_cur, it = state
+        return (n_cur != n_prev) & (it < max_rounds)
+
+    def body(state):
+        reach, _, n_cur, it = state
+        reach = one_round(reach)
+        # reachability only grows, so count equality <=> fixed point
+        return reach, n_cur, jnp.sum(reach, dtype=jnp.int32), it + 1
+
+    reach = one_round(reach0)
+    state = (reach, jnp.asarray(-1, jnp.int32),
+             jnp.sum(reach, dtype=jnp.int32), jnp.asarray(1, jnp.int32))
+    reach, _, _, iters = jax.lax.while_loop(cond, body, state)
+    return reach, iters
+
+
 def flood_fill_host(phase_ok: np.ndarray, direction: int):
     """Host connected-components percolation: returns (reach_inlet,
     reach_outlet) boolean volumes, equivalent to the two device flood fills."""
@@ -141,8 +204,15 @@ def percolation_mask(phase, phase_id: int, direction: int, method: str = "auto")
     seeds_hi = jnp.zeros(phase.shape, bool).at[_face_slices(direction, False)].set(True)
     if not any_true(phase_ok & seeds_lo) or not any_true(phase_ok & seeds_hi):
         return jnp.zeros(phase.shape, bool), 0.0
-    reach_in, _ = flood_fill_device(phase_ok, seeds_lo)
-    reach_out, _ = flood_fill_device(phase_ok, seeds_hi)
+    sharded = len(getattr(phase_ok.sharding, "device_set", ())) > 1
+    if sharded:
+        # GSPMD path: segmented scans along the sharded axis lower poorly;
+        # the synchronous dilation stays the multi-device fallback
+        reach_in, _ = flood_fill_device(phase_ok, seeds_lo)
+        reach_out, _ = flood_fill_device(phase_ok, seeds_hi)
+    else:
+        reach_in, _ = flood_fill_device_raster(phase_ok, seeds_lo)
+        reach_out, _ = flood_fill_device_raster(phase_ok, seeds_hi)
     active = reach_in & reach_out
     return active, count_true(active) / total
 

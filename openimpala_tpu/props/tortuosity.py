@@ -197,10 +197,9 @@ def tortuosity(
     if not pre_sharded:
         # domain decomposition: pad X with inactive cells to mesh
         # divisibility (identity rows, never referenced — exact), shard
-        # every solver field along X.  The percolation mask stays a host
-        # computation on this path.
-        active_np = np.asarray(active)
+        # every solver field along X.
         if mesh is not None:
+            active_np = np.asarray(active)
             if pad:
                 active_np = np.pad(active_np, ((0, pad), (0, 0), (0, 0)))
             active_j = shard_volume(jnp.asarray(active_np), mesh)
@@ -208,7 +207,9 @@ def tortuosity(
                 print(f"  Mesh: {mesh.devices.size} devices, X {shape[0]}->"
                       f"{active_np.shape[0]} (pad {pad})")
         else:
-            active_j = jnp.asarray(active_np)
+            # no host round-trip when the percolation already ran on device
+            # (percolation_method="device" raster fill)
+            active_j = jnp.asarray(active)
 
     if warm is not None:
         warm.join()  # never compile the same program from two threads

@@ -223,6 +223,13 @@ class ConductanceLevel:
     cx: jax.Array
     cy: jax.Array
     cz: jax.Array
+    # static opt-out of the fused Pallas kernels for this level: every
+    # (shape, mode) pair instantiates a separate Mosaic binary in the
+    # serialized executable, and on the tunnelled TPU the one-time program
+    # deserialize+upload is a top-3 cost of a one-shot solve — small coarse
+    # levels contribute <1% of the V-cycle FLOPs, so GalerkinMGPreconditioner
+    # pins them to XLA (``pallas_min_cells``) to shrink the program.
+    use_xla: bool = dataclasses.field(default=False, metadata=dict(static=True))
 
     @property
     def free(self):
@@ -232,7 +239,8 @@ class ConductanceLevel:
         from ..ops import stencil as _st
         from ..ops import stencil_pallas as _sp
 
-        if (_st._PALLAS_MODE != "0" and x.dtype == self.diag.dtype
+        if (not self.use_xla and _st._PALLAS_MODE != "0"
+                and x.dtype == self.diag.dtype
                 and _sp.supports_cond(x.shape, x.dtype, has_r=False)):
             return _sp.fused_conductance_pallas(
                 "matvec", x, None, self.cx, self.cy, self.cz, self.diag)
@@ -249,7 +257,8 @@ class ConductanceLevel:
         from ..ops import stencil as _st
         from ..ops import stencil_pallas as _sp
 
-        if (_st._PALLAS_MODE != "0" and x.dtype == self.diag.dtype
+        if (not self.use_xla and _st._PALLAS_MODE != "0"
+                and x.dtype == self.diag.dtype
                 and _sp.supports_cond(x.shape, x.dtype, has_r=True)):
             return _sp.fused_conductance_pallas(
                 "sweep", x, r, self.cx, self.cy, self.cz, self.diag,
@@ -452,7 +461,8 @@ class GalerkinMGPreconditioner:
     w_depth: int = dataclasses.field(default=2, metadata=dict(static=True))
 
     @classmethod
-    def from_system(cls, system, max_levels: int = 16, **kw):
+    def from_system(cls, system, max_levels: int = 16,
+                    pallas_min_cells: int = 64 ** 3, **kw):
         fine = MGLevel(code=system.code, w=system.w, periodic=system.periodic,
                        diag_full=system.diag_full)
         # the whole hierarchy builds as ONE jitted program (shapes are
@@ -466,6 +476,14 @@ class GalerkinMGPreconditioner:
             shape = tuple(s // 2 for s in shape)
             n_levels += 1
         levels = _build_hierarchy(system, n_levels)
+        # conductance levels below ``pallas_min_cells`` pin XLA: each Pallas
+        # (shape, mode) pair embeds another Mosaic binary in the serialized
+        # executable whose one-time deserialize+upload over the tunnel costs
+        # more than the sub-1%-of-FLOPs level ever saves at runtime
+        levels = tuple(
+            dataclasses.replace(lvl, use_xla=True)
+            if lvl.diag.size < pallas_min_cells else lvl
+            for lvl in levels)
         return cls(fine=fine, levels=tuple(levels), **kw)
 
     # -- smoothing ---------------------------------------------------------

@@ -118,6 +118,40 @@ class TestPercolation:
         assert mask[:, 1, 1].all()
         assert not mask[3:5, 3, 3].any()
 
+    def test_raster_fill_serpentine(self):
+        # worst case for the raster sweeps: a path that reverses direction
+        # every few cells (many rounds needed, but the fixed point must
+        # still equal BFS reachability)
+        from openimpala_tpu.ops.floodfill import flood_fill_device_raster
+
+        n = 16
+        phase = np.zeros((n, n, 3), np.int8)
+        for i in range(n):  # serpentine in the (X, Y) plane at Z=1
+            phase[i, :, 1] = 1 if i % 2 == 0 else 0
+            if i % 4 == 1:
+                phase[i, n - 1, 1] = 1
+            elif i % 4 == 3:
+                phase[i, 0, 1] = 1
+        host, vf_h = percolation_mask(phase, 1, 0, method="host")
+        dev, vf_d = percolation_mask(jnp.asarray(phase), 1, 0,
+                                     method="device")
+        np.testing.assert_array_equal(np.asarray(host), np.asarray(dev))
+        assert vf_h == pytest.approx(vf_d)
+
+        # direct raster call: fixpoint matches the dilation fill.  NB the
+        # dilation's default reference-faithful cap (sum(dims)+2,
+        # TortuosityHypre.cpp:328) UNDERSHOOTS the serpentine's true BFS
+        # distance (~n^2/2 steps) — lift it so the comparison is against
+        # the completed fill.
+        seeds = jnp.zeros(phase.shape, bool).at[0].set(True)
+        pok = jnp.asarray(phase) == 1
+        r_raster, rounds = flood_fill_device_raster(pok, seeds)
+        r_dilate, _ = flood_fill_device(pok, seeds, max_iter=10_000)
+        np.testing.assert_array_equal(np.asarray(r_raster),
+                                      np.asarray(r_dilate))
+        # serpentine path turns ~n times; rounds must track turns, not cells
+        assert int(rounds) <= n + 2
+
     def test_device_flood_fill_iterations_bounded(self):
         phase = np.ones((6, 6, 6), bool)
         seeds = np.zeros((6, 6, 6), bool)
