@@ -33,6 +33,44 @@ def pad_volume_to(vol, multiple_x: int, fill=0):
     return np.pad(np.asarray(vol), ((0, rem), (0, 0), (0, 0)), constant_values=fill)
 
 
+def _unpack_bits_impl(p):
+    shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
+    bits = (p[..., None] >> shifts) & jnp.uint8(1)
+    return bits.reshape(p.shape[:-1] + (8 * p.shape[-1],)).astype(bool)
+
+
+_unpack_bits = None  # jitted lazily (jax import cost at module import)
+
+
+def upload_mask(mask, mesh=None):
+    """Transfer a host boolean volume to device with 8x less traffic: host
+    ``np.packbits`` along Z, device-side unpack (one tiny fused program).
+
+    Through the tunnelled TPU runtime a 512^3 bool costs ~134 MB on the
+    wire (~2-3 s); the packed form is 16.8 MB.  ``mesh``: optional 1-D
+    X-axis mesh — the packed array is placed sharded and the unpack runs
+    under GSPMD, so the full-size mask never exists unsharded.  Falls back
+    to a plain transfer when Z % 8 != 0 or the input is already on device.
+    """
+    import jax
+
+    from ..parallel.mesh import shard_volume
+
+    global _unpack_bits
+    if isinstance(mask, jax.Array):
+        return shard_volume(mask, mesh) if mesh is not None else mask
+    mask = np.asarray(mask, bool)
+    if mask.shape[-1] % 8 != 0:
+        arr = jnp.asarray(mask)
+        return shard_volume(arr, mesh) if mesh is not None else arr
+    packed = np.packbits(mask, axis=-1)
+    packed_j = shard_volume(jnp.asarray(packed), mesh) if mesh is not None \
+        else jnp.asarray(packed)
+    if _unpack_bits is None:
+        _unpack_bits = jax.jit(_unpack_bits_impl)
+    return _unpack_bits(packed_j)
+
+
 def linear_ramp(shape, direction: int, vlo: float, vhi: float, dtype=jnp.float64):
     """The reference's initial guess: linear ramp vlo -> vhi along
     ``direction`` over indices 0..N-1 (``TortuosityHypreFill.F90:233-262``,

@@ -28,7 +28,7 @@ import numpy as np
 from ..ops.flux import deff_integrand_sum
 from ..ops.masks import phase_mask
 from ..ops.stencil import make_cell_problem_system
-from ..parallel.mesh import resolve_mesh, shard_volume
+from ..parallel.mesh import resolve_mesh
 from ..solve.refine import solve_system
 from ..utils.common import parse_direction
 
@@ -100,12 +100,15 @@ def effective_diffusivity(
                 "be padded - falling back to single-device (crop X to a "
                 "multiple of the device count to shard)", file=sys.stderr)
             mesh = None  # periodic domain: no padding possible
+        from ..ops.masks import upload_mask
+
         if mesh is not None:
-            active = shard_volume(jnp.asarray(active_np), mesh)
+            # packed-bit transfer: 8x less tunnel traffic than a bool volume
+            active = upload_mask(active_np, mesh)
             if verbose > 0:
                 print(f"  Mesh: {mesh.devices.size} devices (X sharding)")
         else:
-            active = jnp.asarray(active_np)
+            active = upload_mask(active_np)
     vf = n_active / n_total
 
     if n_active == 0:

@@ -29,7 +29,7 @@ from ..ops.floodfill import percolation_mask
 from ..ops.flux import boundary_fluxes
 from ..ops.masks import linear_ramp
 from ..ops.stencil import make_tortuosity_system
-from ..parallel.mesh import resolve_mesh, shard_volume
+from ..parallel.mesh import resolve_mesh
 from ..solve import warmup
 from ..solve.refine import solve_system
 from ..utils.common import parse_direction
@@ -198,18 +198,21 @@ def tortuosity(
         # domain decomposition: pad X with inactive cells to mesh
         # divisibility (identity rows, never referenced — exact), shard
         # every solver field along X.
+        from ..ops.masks import upload_mask
+
         if mesh is not None:
             active_np = np.asarray(active)
             if pad:
                 active_np = np.pad(active_np, ((0, pad), (0, 0), (0, 0)))
-            active_j = shard_volume(jnp.asarray(active_np), mesh)
+            # packed-bit transfer: 8x less tunnel traffic than a bool volume
+            active_j = upload_mask(active_np, mesh)
             if verbose > 0:
                 print(f"  Mesh: {mesh.devices.size} devices, X {shape[0]}->"
                       f"{active_np.shape[0]} (pad {pad})")
         else:
             # no host round-trip when the percolation already ran on device
             # (percolation_method="device" raster fill)
-            active_j = jnp.asarray(active)
+            active_j = upload_mask(active)
 
     if warm is not None:
         warm.join()  # never compile the same program from two threads

@@ -1,0 +1,82 @@
+"""GMG variant sweep at 512^3 on TPU: iterations, per-iteration cost, and
+serialized chunk-program size per preconditioner option set.
+
+Run: nohup python scripts/itersweep.py > /tmp/itersweep.log 2>&1 &
+Env: N (512), VARIANTS (comma-separated names below)
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+import jax.numpy as jnp
+import numpy as np
+
+import openimpala_tpu  # noqa: F401
+from openimpala_tpu.ops.floodfill import percolation_mask
+from openimpala_tpu.ops.stencil import make_tortuosity_system
+from openimpala_tpu.ops.masks import linear_ramp
+from openimpala_tpu.solve.refine import solve_system
+
+VARIANTS = {
+    "default": {},
+    "cheby22": {"smoother": "cheby"},
+    "levels5": {"max_levels": 5},
+    "cheby33": {"smoother": "cheby", "nu1": 3, "nu2": 3},
+    "jac33": {"nu1": 3, "nu2": 3},
+}
+
+
+def log(*a):
+    print(f"[{time.strftime('%H:%M:%S')}]", *a, flush=True)
+
+
+N = int(os.environ.get("N", "512"))
+names = os.environ.get("VARIANTS", "default,cheby22,levels5").split(",")
+log("device:", jax.devices()[0], "N:", N, "variants:", names)
+
+rng = np.random.default_rng(0)
+coarse = rng.standard_normal((N // 8,) * 3).astype(np.float32)
+import jax.image
+
+field = jax.image.resize(jnp.asarray(coarse), (N,) * 3, method="trilinear")
+thr = jnp.quantile(field.reshape(-1)[:: max(1, N ** 3 // 2_000_000)], 0.4)
+phase = np.asarray((field < thr).astype(np.int8))
+del field
+
+t0 = time.time()
+active, vf = percolation_mask(phase, 1, 0, method="native")
+log(f"BFS {time.time()-t0:.1f}s vf={vf:.4f}")
+system = make_tortuosity_system(jnp.asarray(active), 0, -1.0, 1.0,
+                                dtype=jnp.float32)
+x0 = jnp.where(system.free, linear_ramp(active.shape, 0, -1.0, 1.0,
+                                        jnp.float32), 0.0)
+
+for name in names:
+    opts = VARIANTS[name]
+    t0 = time.time()
+    x_full, info = solve_system(system, x0, eps=1e-9, maxiter=20000,
+                                method="cg", precond="gmg",
+                                inner_dtype=jnp.float32,
+                                outer_dtype=jnp.float64, precond_opts=opts)
+    t_first = time.time() - t0
+    it1 = int(info.iterations)
+    # warm second solve: pure iterate time
+    t0 = time.time()
+    x_full, info = solve_system(system, x0, eps=1e-9, maxiter=20000,
+                                method="cg", precond="gmg",
+                                inner_dtype=jnp.float32,
+                                outer_dtype=jnp.float64, precond_opts=opts)
+    t_warm = time.time() - t0
+    log(json.dumps({
+        "variant": name, "iters": int(info.iterations),
+        "rel": float(info.rel_res), "conv": bool(info.converged),
+        "t_first_s": round(t_first, 2), "t_warm_s": round(t_warm, 2),
+        "ms_per_iter_warm": round(t_warm / max(int(info.iterations), 1) * 1e3, 1),
+    }))
+log("DONE")

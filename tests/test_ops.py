@@ -152,6 +152,20 @@ class TestPercolation:
         # serpentine path turns ~n times; rounds must track turns, not cells
         assert int(rounds) <= n + 2
 
+    def test_upload_mask_packed_roundtrip(self):
+        from openimpala_tpu.ops.masks import upload_mask
+        from openimpala_tpu.parallel.mesh import make_mesh
+
+        rng = np.random.default_rng(3)
+        mask = rng.random((16, 12, 24)) < 0.4  # Z % 8 == 0: packed path
+        np.testing.assert_array_equal(np.asarray(upload_mask(mask)), mask)
+        odd = rng.random((6, 5, 7)) < 0.4  # Z % 8 != 0: plain fallback
+        np.testing.assert_array_equal(np.asarray(upload_mask(odd)), odd)
+        mesh = make_mesh()
+        sharded = upload_mask(mask, mesh)
+        assert len(sharded.sharding.device_set) == mesh.devices.size
+        np.testing.assert_array_equal(np.asarray(sharded), mask)
+
     def test_device_flood_fill_iterations_bounded(self):
         phase = np.ones((6, 6, 6), bool)
         seeds = np.zeros((6, 6, 6), bool)
