@@ -459,6 +459,17 @@ class GalerkinMGPreconditioner:
     # servers) where the load amortises.
     cycle: str = dataclasses.field(default="v", metadata=dict(static=True))
     w_depth: int = dataclasses.field(default=2, metadata=dict(static=True))
+    # coarsest-level treatment: "jacobi" = coarse_sweeps damped-Jacobi
+    # iterations (needs a tiny coarsest grid, i.e. a deep hierarchy);
+    # "cheby" = one degree-``coarse_sweeps`` Chebyshev solve over
+    # [2.2/coarse_ratio, 2.2] — strong enough at ratio ~ the level's
+    # condition number to stop the hierarchy several levels early, which
+    # shrinks the serialized one-shot executable (each level contributes
+    # full code size regardless of its cell count).
+    coarse_solver: str = dataclasses.field(default="jacobi",
+                                           metadata=dict(static=True))
+    coarse_ratio: float = dataclasses.field(default=300.0,
+                                            metadata=dict(static=True))
 
     @classmethod
     def from_system(cls, system, max_levels: int = 16,
@@ -501,16 +512,20 @@ class GalerkinMGPreconditioner:
 
         return jax.lax.fori_loop(0, n, body, x)
 
-    def _smooth_cheby(self, apply_fn, diag, free, x, r, degree: int):
-        """Degree-``degree`` Chebyshev smoothing on the upper spectrum of
-        D^{-1}A ([hi/6, hi], hi >= Gershgorin bound 2).  A fixed polynomial,
-        identical pre/post, so the V-cycle stays a symmetric operator.
-        One operator apply per degree — same cost as a Jacobi sweep with
-        markedly better high-frequency damping.  fori_loop-formulated (the
-        round-1 unrolled recurrence inlined at every level exploded XLA
-        compile time: >3.5 min at 96^3)."""
+    def _smooth_cheby(self, apply_fn, diag, free, x, r, degree: int,
+                      ratio: float = 6.0):
+        """Degree-``degree`` Chebyshev smoothing on the spectrum interval
+        [hi/ratio, hi] of D^{-1}A (hi >= Gershgorin bound 2).  A fixed
+        polynomial, identical pre/post, so the V-cycle stays a symmetric
+        operator.  One operator apply per degree — same cost as a Jacobi
+        sweep with markedly better high-frequency damping.  With ``ratio``
+        of order the level's condition number it acts as a coarse SOLVER
+        (error factor ~ exp(-2 degree / sqrt(ratio))), which lets the
+        hierarchy stop several levels early (see ``coarse_solver``).
+        fori_loop-formulated (the round-1 unrolled recurrence inlined at
+        every level exploded XLA compile time: >3.5 min at 96^3)."""
         hi = 2.2
-        lo = hi / 6.0
+        lo = hi / ratio
         theta = 0.5 * (hi + lo)
         delta = 0.5 * (hi - lo)
         sigma = theta / delta
@@ -591,7 +606,11 @@ class GalerkinMGPreconditioner:
         diag, free = lvl.diag.astype(r.dtype), lvl.free
 
         x = jnp.zeros_like(r)
-        if idx == len(self.levels):  # coarsest: tiny, fori_loop + XLA
+        if idx == len(self.levels):  # coarsest: fori_loop + XLA
+            if self.coarse_solver == "cheby":
+                return self._smooth_cheby(lvl_apply, diag, free, x, r,
+                                          self.coarse_sweeps,
+                                          ratio=self.coarse_ratio)
             return self._smooth(lvl_apply, diag, free, x, r, self.coarse_sweeps)
 
         x = self._cond_smooth(lvl, diag, free, None, r, self.nu1)

@@ -29,6 +29,21 @@ VARIANTS = {
     "levels5": {"max_levels": 5},
     "cheby33": {"smoother": "cheby", "nu1": 3, "nu2": 3},
     "jac33": {"nu1": 3, "nu2": 3},
+    # shallow hierarchy + Chebyshev coarse SOLVER (error ~ exp(-2d/sqrt(r)))
+    "l5cheb300": {"max_levels": 5, "coarse_solver": "cheby",
+                  "coarse_ratio": 300.0},
+    "l4cheb1k": {"max_levels": 4, "coarse_solver": "cheby",
+                 "coarse_sweeps": 80, "coarse_ratio": 1000.0},
+    "l6cheb100": {"max_levels": 6, "coarse_solver": "cheby",
+                  "coarse_ratio": 100.0},
+    "l3cheb4k": {"max_levels": 3, "coarse_solver": "cheby",
+                 "coarse_sweeps": 150, "coarse_ratio": 4000.0},
+    "l4cheb600d60": {"max_levels": 4, "coarse_solver": "cheby",
+                     "coarse_sweeps": 60, "coarse_ratio": 600.0},
+    "l4cheb2kd100": {"max_levels": 4, "coarse_solver": "cheby",
+                     "coarse_sweeps": 100, "coarse_ratio": 2000.0},
+    "l5cheb1k": {"max_levels": 5, "coarse_solver": "cheby",
+                 "coarse_sweeps": 80, "coarse_ratio": 1000.0},
 }
 
 
@@ -73,10 +88,32 @@ for name in names:
                                 inner_dtype=jnp.float32,
                                 outer_dtype=jnp.float64, precond_opts=opts)
     t_warm = time.time() - t0
+    size = -1
+    if os.environ.get("SIZES", "1") == "1":
+        from jax.experimental import serialize_executable as se
+        from openimpala_tpu.solve.cg import _cg_chunk, _rel0
+        from openimpala_tpu.solve.refine import make_precond
+
+        M = make_precond(system, "gmg", opts, "cg")
+        r0 = system.initial_residual(x0)
+        denom = jnp.asarray(system.b_norm, jnp.float32)
+        epsj = jnp.asarray(1e-5, jnp.float32)
+        rel0, done0 = _rel0(r0, denom, epsj)
+        state = (jnp.zeros_like(r0), r0, jnp.zeros_like(r0),
+                 jnp.zeros((), jnp.float32), jnp.array(0, jnp.int32),
+                 rel0, done0)
+        try:
+            payload, _, _ = se.serialize(
+                _cg_chunk.lower(system, M, state, denom, epsj,
+                                chunk=16).compile())
+            size = round(len(payload) / 2 ** 20, 2)
+        except Exception as e:
+            log("size probe failed:", e)
     log(json.dumps({
         "variant": name, "iters": int(info.iterations),
         "rel": float(info.rel_res), "conv": bool(info.converged),
         "t_first_s": round(t_first, 2), "t_warm_s": round(t_warm, 2),
         "ms_per_iter_warm": round(t_warm / max(int(info.iterations), 1) * 1e3, 1),
+        "chunk_exe_mib": size,
     }))
 log("DONE")

@@ -157,6 +157,23 @@ def test_galerkin_wcycle_cuts_iterations(problem):
     assert int(w.iterations) <= int(v.iterations)
 
 
+def test_chebyshev_coarse_solver_matches_direct(problem):
+    """coarse_solver="cheby" truncates the hierarchy early and replaces the
+    coarsest Jacobi sweeps with a full-spectrum Chebyshev solve; the cycle
+    stays a fixed symmetric operator, so PCG must converge to the same
+    solution (one-shot executable-size lever, see GalerkinMGPreconditioner)."""
+    system, x0, x_direct = problem
+    from openimpala_tpu.solve.preconditioners import GalerkinMGPreconditioner
+
+    r0 = system.initial_residual(x0)
+    M = GalerkinMGPreconditioner.from_system(
+        system, max_levels=2, coarse_solver="cheby", coarse_ratio=100.0)
+    res = cg(system, r0, system.b_norm, 1e-10, 5000, precond=M)
+    assert bool(res.converged)
+    x = np.asarray(system.assemble_solution(x0 + res.z))
+    np.testing.assert_allclose(x, x_direct, atol=1e-7)
+
+
 def test_trilinear_transfers_adjoint_and_converge(problem):
     """transfer="tri": restriction must be the exact transpose of the
     prolongation (<P e_c, f> == <e_c, R f>, clamped and periodic), and the
