@@ -438,7 +438,7 @@ class GalerkinMGPreconditioner:
     nu1: int = dataclasses.field(default=2, metadata=dict(static=True))
     nu2: int = dataclasses.field(default=2, metadata=dict(static=True))
     omega: float = dataclasses.field(default=0.9, metadata=dict(static=True))
-    coarse_sweeps: int = dataclasses.field(default=50, metadata=dict(static=True))
+    coarse_sweeps: int = dataclasses.field(default=100, metadata=dict(static=True))
     smoother: str = dataclasses.field(default="jacobi", metadata=dict(static=True))
     # "pc" | "tri".  Measured at 256^3 (random RHS, 1e-8): trilinear
     # transfers over the PC-Galerkin conductance operators do NOT beat PC
@@ -466,13 +466,32 @@ class GalerkinMGPreconditioner:
     # condition number to stop the hierarchy several levels early, which
     # shrinks the serialized one-shot executable (each level contributes
     # full code size regardless of its cell count).
-    coarse_solver: str = dataclasses.field(default="jacobi",
+    coarse_solver: str = dataclasses.field(default="cheby",
                                            metadata=dict(static=True))
-    coarse_ratio: float = dataclasses.field(default=300.0,
+    coarse_ratio: float = dataclasses.field(default=4000.0,
                                             metadata=dict(static=True))
 
+    # Default shape of the cycle (measured, 512^3 porous blobs at 1e-9 on
+    # the v5e — scripts/itersweep.py):
+    #
+    #   levels  coarsest treatment       iters  chunk exe  warm solve
+    #   7       50 Jacobi sweeps @4^3     146    19.8 MiB    7.6 s
+    #   4       cheby d80  r1e3 @64^3      86    10.4 MiB    4.7 s
+    #   3       cheby d150 r4e3 @128^3     47     6.8 MiB    3.9 s
+    #   3       cheby d100 r4e3 @128^3     46     6.8 MiB    3.6 s  <- default
+    #
+    # A SHALLOW hierarchy with a strong Chebyshev coarse solve beats the
+    # deep one on every axis at once: the coarsest operator stays close to
+    # the fine one (better approximation property -> fewer outer
+    # iterations), the executable halves twice (program upload over the
+    # tunnel is a top fixed cost), and the Chebyshev solve is cheap at 1/64
+    # of the fine cell count.  This also retires the round-2 "145-iteration
+    # floor": 47 iterations matches Hypre FlexGMRES(SMG)'s "tens"
+    # (reference TortuosityHypre.cpp:671-678) and beats the measured
+    # smoothed-aggregation alternative (62, solve/sa.py) without SA's
+    # probe-build programs.
     @classmethod
-    def from_system(cls, system, max_levels: int = 16,
+    def from_system(cls, system, max_levels: int = 3,
                     pallas_min_cells: int = 64 ** 3, **kw):
         fine = MGLevel(code=system.code, w=system.w, periodic=system.periodic,
                        diag_full=system.diag_full)
@@ -495,6 +514,17 @@ class GalerkinMGPreconditioner:
             dataclasses.replace(lvl, use_xla=True)
             if lvl.diag.size < pallas_min_cells else lvl
             for lvl in levels)
+        if kw.get("coarse_solver", "cheby") == "cheby":
+            # auto-scale the Chebyshev coarse solve to the coarsest level's
+            # condition number (kappa(D^-1 A) ~ 0.25 * N^2 for the masked
+            # Laplacian; the 512^3 measurement above sits exactly at this
+            # rule) and pick the degree for a ~0.04 error factor
+            # (exp(-2 d / sqrt(ratio))).
+            coarsest = levels[-1].diag.shape if levels else shape
+            kw.setdefault("coarse_ratio",
+                          max(64.0, 0.25 * max(coarsest) ** 2))
+            kw.setdefault("coarse_sweeps",
+                          max(30, round(1.6 * kw["coarse_ratio"] ** 0.5)))
         return cls(fine=fine, levels=tuple(levels), **kw)
 
     # -- smoothing ---------------------------------------------------------

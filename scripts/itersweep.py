@@ -44,6 +44,12 @@ VARIANTS = {
                      "coarse_sweeps": 100, "coarse_ratio": 2000.0},
     "l5cheb1k": {"max_levels": 5, "coarse_solver": "cheby",
                  "coarse_sweeps": 80, "coarse_ratio": 1000.0},
+    "l3cheb2kd100": {"max_levels": 3, "coarse_solver": "cheby",
+                     "coarse_sweeps": 100, "coarse_ratio": 2000.0},
+    "l3cheb8kd200": {"max_levels": 3, "coarse_solver": "cheby",
+                     "coarse_sweeps": 200, "coarse_ratio": 8000.0},
+    "l3cheb4kd100": {"max_levels": 3, "coarse_solver": "cheby",
+                     "coarse_sweeps": 100, "coarse_ratio": 4000.0},
 }
 
 
