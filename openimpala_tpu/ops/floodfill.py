@@ -164,7 +164,18 @@ def percolation_mask(phase, phase_id: int, direction: int, method: str = "auto")
         if isinstance(phase, np.ndarray):
             from ..io import native
 
-            method = "native" if native.available() else "host"
+            on_single_tpu = (jax.default_backend() == "tpu"
+                             and jax.device_count() == 1)
+            if (on_single_tpu and total >= 192 ** 3
+                    and phase.shape[-1] % 8 == 0):
+                # raster fill on device beats the host BFS at one-shot scale
+                # (measured 512^3: 4.7 s vs 5.5-13.6 s end to end incl.
+                # transfers, scripts/perc512.py) and ships the mask
+                # bit-packed; multi-device hosts keep the native BFS (their
+                # mask feeds host-side padding before sharding).
+                method = "device"
+            else:
+                method = "native" if native.available() else "host"
         else:
             method = "device"
 
@@ -199,7 +210,14 @@ def percolation_mask(phase, phase_id: int, direction: int, method: str = "auto")
 
     from ..utils.common import any_true, count_true
 
-    phase_ok = jnp.asarray(phase) == phase_id
+    if isinstance(phase, np.ndarray):
+        # host input to the device fill: compare on host and ship the mask
+        # bit-packed (8x less tunnel traffic than the int8 phase volume)
+        from .masks import upload_mask
+
+        phase_ok = upload_mask(phase == phase_id)
+    else:
+        phase_ok = jnp.asarray(phase) == phase_id
     seeds_lo = jnp.zeros(phase.shape, bool).at[_face_slices(direction, True)].set(True)
     seeds_hi = jnp.zeros(phase.shape, bool).at[_face_slices(direction, False)].set(True)
     if not any_true(phase_ok & seeds_lo) or not any_true(phase_ok & seeds_hi):

@@ -29,3 +29,7 @@ r = tortuosity(phase, 1, 0, eps=1e-9, precond=precond,
                inner_dtype=jnp.float32, percolation_method="native", verbose=1)
 log(f"precond={precond} n={n}: t={time.time()-t0:.1f}s tau={r.value:.6f} "
     f"iters={r.iterations} rel={r.rel_res:.2e} conv={r.converged}")
+if os.environ.get("OPENIMPALA_PROFILE") == "1":
+    from openimpala_tpu.utils import profiling
+
+    log(profiling.report())
