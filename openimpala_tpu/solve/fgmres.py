@@ -120,17 +120,23 @@ def _fgmres_loop(system, r0, denom, eps, maxiter: int, precond, restart: int):
     n_cycles = max(1, -(-maxiter // m))
 
     def cond(state):
-        _, _, it, rel, done = state
-        return (~done) & (it < n_cycles)
+        _, _, it, rel, done, stall = state
+        # stall >= 2: two consecutive cycles without meaningful progress —
+        # the dtype's noise floor (f32 Gram-Schmidt plateaus near 1e-5
+        # relative); return to the caller (iterative refinement re-scales
+        # the residual and continues) instead of burning the budget
+        return (~done) & (it < n_cycles) & (stall < 2)
 
     def body(state):
-        z, r, it, rel, done = state
+        z, r, it, rel, done, stall = state
         z, r = _arnoldi_cycle(system, precond, z, r, r0, m)
-        rel = jnp.sqrt(_dot(r, r)) / denom
-        return z, r, it + 1, rel, rel <= eps
+        rel_new = jnp.sqrt(_dot(r, r)) / denom
+        stall = jnp.where(rel_new > rel * 0.999, stall + 1, 0)
+        return z, r, it + 1, rel_new, rel_new <= eps, stall
 
-    state = (z0, r0, jnp.array(0, jnp.int32), rel0, rel0 <= eps)
-    z, r, it, rel, done = jax.lax.while_loop(cond, body, state)
+    state = (z0, r0, jnp.array(0, jnp.int32), rel0, rel0 <= eps,
+             jnp.array(0, jnp.int32))
+    z, r, it, rel, done, _ = jax.lax.while_loop(cond, body, state)
     return SolveResult(z=z, iterations=it * m, rel_res=rel, converged=rel <= eps)
 
 
@@ -142,12 +148,22 @@ def _fgmres_host_loop(system, r0, denom, eps, maxiter: int, precond,
     z = jnp.zeros_like(r0)
     r = r0
     it = 0
+    stall = 0
     rel = float(jnp.sqrt(_dot(r, r))) / denom_v
     while rel > eps_v and it < maxiter:
         z, r = _arnoldi_cycle(system, precond, z, r, r0, restart)
         it += restart
-        rel = float(jnp.sqrt(_dot(r, r))) / denom_v
-        if not (rel == rel):  # NaN breakdown
+        rel_new = float(jnp.sqrt(_dot(r, r))) / denom_v
+        if not (rel_new == rel_new):  # NaN breakdown
+            rel = rel_new
+            break
+        # plateau at the dtype's noise floor (measured: f32 Gram-Schmidt
+        # stalls near 8e-6 at 512^3): two consecutive no-progress cycles
+        # end the solve — under iterative refinement the outer loop
+        # re-scales the residual and continues in a fresh Krylov space
+        stall = stall + 1 if rel_new > rel * 0.999 else 0
+        rel = rel_new
+        if stall >= 2:
             break
     return SolveResult(
         z=z, iterations=jnp.asarray(it, jnp.int32),

@@ -11,7 +11,9 @@ Heavy: ~30-40 GiB RAM, tens of minutes on this 1-core host.  Usage:
 
     nohup python scripts/run1024.py > /tmp/run1024.log 2>&1 &
 
-Env: N (default 1024), PRECOND (default sa), EPS (default 1e-9).
+Env: N (default 1024), PRECOND (default gmg — the 46-iteration
+Chebyshev-coarse cycle), LEVELS (default 4: coarsest 128^3, the measured
+d100/r4000 regime from scripts/itersweep.py), EPS (default 1e-9).
 """
 import os
 import sys
@@ -35,7 +37,8 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 import numpy as np
 
 N = int(os.environ.get("N", "1024"))
-PRECOND = os.environ.get("PRECOND", "sa")
+PRECOND = os.environ.get("PRECOND", "gmg")
+LEVELS = int(os.environ.get("LEVELS", "4"))
 EPS = float(os.environ.get("EPS", "1e-9"))
 path = f"/tmp/ingest_demo_{N}.raw"
 
@@ -80,7 +83,8 @@ def main():
         f"sharding={len(arr.sharding.device_set)} devices")
 
     t0 = time.time()
-    r = tortuosity(arr, 1, 0, eps=EPS, precond=PRECOND,
+    popts = {"max_levels": LEVELS} if PRECOND in ("gmg", "mg", "sa") else None
+    r = tortuosity(arr, 1, 0, eps=EPS, precond=PRECOND, precond_opts=popts,
                    original_shape=orig_shape, verbose=1)
     log(f"solve: {time.time()-t0:.1f}s")
     log(f"tau = {r.value:.8f}  active_vf = {r.active_vf:.6f}")

@@ -13,6 +13,7 @@ def log(*a): print(*a, flush=True)
 
 n = int(os.environ.get("N", "512"))
 precond = os.environ.get("PRECOND", "jacobi")
+perc = os.environ.get("PERC", "native")
 mg_levels = int(os.environ.get("MG_LEVELS", "10"))
 
 rng = np.random.default_rng(0)
@@ -26,7 +27,7 @@ del field
 t0=time.time()
 r = tortuosity(phase, 1, 0, eps=1e-9, precond=precond,
                precond_opts={"max_levels": mg_levels} if precond == "mg" else None,
-               inner_dtype=jnp.float32, percolation_method="native", verbose=1)
+               inner_dtype=jnp.float32, percolation_method=perc, verbose=1)
 log(f"precond={precond} n={n}: t={time.time()-t0:.1f}s tau={r.value:.6f} "
     f"iters={r.iterations} rel={r.rel_res:.2e} conv={r.converged}")
 if os.environ.get("OPENIMPALA_PROFILE") == "1":
