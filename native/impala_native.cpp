@@ -106,6 +106,47 @@ int impala_unpack_bits(const uint8_t* packed, int64_t n_values,
   return 0;
 }
 
+// ---------------------------------------------------------------------------
+// Fused compare-and-packbits: out byte b holds (phase[8b+i] == phase_id) in
+// MSB-first order (np.packbits default), one pass over the int8/uint8 or
+// int32 volume instead of numpy's compare pass + packbits pass.  n must be
+// a multiple of 8 (callers guarantee Z % 8 == 0 on a C-contiguous volume).
+// dtype_code: 0 = int8/uint8 (phase_id must fit the reinterpretation —
+// callers range-check, as for impala_percolation_mask_phase), 1 = int32.
+// ---------------------------------------------------------------------------
+int impala_pack_eq(const void* phase, int dtype_code, int64_t phase_id,
+                   int64_t n, uint8_t* out) {
+  if (n % 8 != 0) return 1;
+  const int64_t n_bytes = n / 8;
+  if (dtype_code == 0) {
+    const int8_t* p = static_cast<const int8_t*>(phase);
+    const int8_t id = static_cast<int8_t>(phase_id);
+#pragma omp parallel for schedule(static)
+    for (int64_t b = 0; b < n_bytes; ++b) {
+      const int8_t* c = p + b * 8;
+      out[b] = static_cast<uint8_t>(
+          ((c[0] == id) << 7) | ((c[1] == id) << 6) | ((c[2] == id) << 5) |
+          ((c[3] == id) << 4) | ((c[4] == id) << 3) | ((c[5] == id) << 2) |
+          ((c[6] == id) << 1) | (c[7] == id));
+    }
+    return 0;
+  }
+  if (dtype_code == 1) {
+    const int32_t* p = static_cast<const int32_t*>(phase);
+    const int32_t id = static_cast<int32_t>(phase_id);
+#pragma omp parallel for schedule(static)
+    for (int64_t b = 0; b < n_bytes; ++b) {
+      const int32_t* c = p + b * 8;
+      out[b] = static_cast<uint8_t>(
+          ((c[0] == id) << 7) | ((c[1] == id) << 6) | ((c[2] == id) << 5) |
+          ((c[3] == id) << 4) | ((c[4] == id) << 3) | ((c[5] == id) << 2) |
+          ((c[6] == id) << 1) | (c[7] == id));
+    }
+    return 0;
+  }
+  return 1;
+}
+
 }  // extern "C" (reopened below — BFS internals are C++ templates)
 
 // ---------------------------------------------------------------------------

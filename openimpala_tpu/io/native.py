@@ -64,6 +64,8 @@ def get_lib():
         lib.impala_remspot.restype = ctypes.c_int64
         if hasattr(lib, "impala_bfs_seeded"):
             lib.impala_bfs_seeded.restype = ctypes.c_int64
+        if hasattr(lib, "impala_pack_eq"):
+            lib.impala_pack_eq.restype = ctypes.c_int
         _lib = lib
         return _lib
 
@@ -105,6 +107,35 @@ def unpack_bits(packed: np.ndarray, n_values: int, fill_order: int = 1):
                            ctypes.c_int64(n_values), ctypes.c_int(fill_order),
                            _ptr(out, ctypes.c_uint8))
     return out
+
+
+def pack_eq(phase: np.ndarray, phase_id: int):
+    """MSB-first bit-packed ``phase == phase_id`` along the last axis in ONE
+    C pass (numpy needs a compare pass + a packbits pass — ~1.3 s + 0.3 s at
+    512^3 on this host vs ~0.2 s fused).  Returns a uint8 array of shape
+    ``(*phase.shape[:-1], phase.shape[-1] // 8)``, or None when the fast
+    path doesn't apply (library missing, dtype unsupported, Z % 8 != 0, or a
+    phase_id outside the int8 reinterpretation range — same guards as
+    percolation_mask_phase)."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "impala_pack_eq"):
+        return None
+    phase = np.asarray(phase)
+    code = _PHASE_DTYPES.get(phase.dtype)
+    if (code is None or not phase.flags.c_contiguous
+            or phase.shape[-1] % 8 != 0):
+        return None
+    if code == 0 and not (-128 <= phase_id < 128):
+        return None
+    if phase.dtype == np.uint8 and not (0 <= phase_id < 128):
+        return None
+    out = np.empty(phase.shape[:-1] + (phase.shape[-1] // 8,), np.uint8)
+    rc = lib.impala_pack_eq(
+        phase.ctypes.data_as(ctypes.c_void_p), ctypes.c_int(code),
+        ctypes.c_int64(int(phase_id)), ctypes.c_int64(phase.size),
+        _ptr(out, ctypes.c_uint8),
+    )
+    return out if rc == 0 else None
 
 
 def percolation_mask(phase_ok: np.ndarray, direction: int):

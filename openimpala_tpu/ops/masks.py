@@ -71,6 +71,23 @@ def upload_mask(mask, mesh=None):
     return _unpack_bits(packed_j)
 
 
+def upload_phase_mask(phase: np.ndarray, phase_id: int):
+    """``phase == phase_id`` on device, bit-packed on the wire: the compare
+    and the MSB-first packing run fused in one native C pass when available
+    (io/native.py pack_eq), else numpy compare + ``upload_mask``."""
+    import jax
+
+    from ..io import native
+
+    global _unpack_bits
+    packed = native.pack_eq(np.asarray(phase), phase_id)
+    if packed is None:
+        return upload_mask(np.asarray(phase) == phase_id)
+    if _unpack_bits is None:
+        _unpack_bits = jax.jit(_unpack_bits_impl)
+    return _unpack_bits(jnp.asarray(packed))
+
+
 def linear_ramp(shape, direction: int, vlo: float, vhi: float, dtype=jnp.float64):
     """The reference's initial guess: linear ramp vlo -> vhi along
     ``direction`` over indices 0..N-1 (``TortuosityHypreFill.F90:233-262``,

@@ -54,3 +54,20 @@ def test_remspot_matches_python(rng):
     want = np.asarray(remspot_py(jnp.asarray(np.int64(phase)), 1))
     np.testing.assert_array_equal(got, want.astype(np.int32))
     assert flips == int((got != phase).sum())
+
+
+def test_pack_eq_matches_numpy(rng):
+    """Fused compare+packbits == numpy compare then np.packbits (MSB-first),
+    across the supported dtypes; out-of-range ids and odd Z refused (fall
+    back to the numpy route instead of int8-wrapping false matches)."""
+    if not native.available() or not hasattr(native.get_lib(), "impala_pack_eq"):
+        pytest.skip("native library without pack_eq")
+    for dt, pid in [(np.int8, 1), (np.uint8, 3), (np.int32, -7)]:
+        lo = -5 if np.dtype(dt).kind == "i" else 0
+        ph = rng.integers(lo, 6, (24, 16, 16)).astype(dt)
+        got = native.pack_eq(ph, pid)
+        want = np.packbits(ph == pid, axis=-1)
+        np.testing.assert_array_equal(got, want)
+    assert native.pack_eq(np.zeros((8, 8, 8), np.uint8), 200) is None
+    assert native.pack_eq(np.zeros((8, 8, 8), np.int8), 300) is None
+    assert native.pack_eq(np.zeros((8, 8, 9), np.int8), 1) is None
