@@ -129,10 +129,11 @@ def rev_study(
                 results[i] = (d, bool(convs[j]))
     else:
         # sequential same-shape crops amortise the compiled-program load
-        # across many solves — exactly the regime where the W-cycle's 1.5x
-        # iteration cut pays for its bigger program (preconditioners.py)
-        if precond in ("auto", "gmg") and "precond_opts" not in solve_kwargs:
-            solve_kwargs = dict(solve_kwargs, precond_opts={"cycle": "w"})
+        # across many solves.  Round 2 injected cycle="w" here (1.5x fewer
+        # iterations than the then-default Jacobi-coarse V-cycle); with the
+        # Chebyshev-coarse default the advantage is gone — measured at the
+        # BASELINE REV config (64 x 256^3 x 3, v5e): V 157.6 s vs W 159.2 s,
+        # both 64/64 converged — so the plain default (smaller program) stays.
         for i, (s_no, size, lo, actual) in enumerate(boxes):
             crop = phase[lo[0]:lo[0] + actual[0], lo[1]:lo[1] + actual[1],
                          lo[2]:lo[2] + actual[2]]

@@ -38,10 +38,12 @@ phase = np.asarray((field < thr).astype(np.int8))
 del field
 log(f"parent {n_parent}^3, {n_samples} x {crop}^3 crops x 3 directions")
 
+cycle = os.environ.get("CYCLE", "")  # "" = rev_study's default (W)
+extra = {"precond_opts": {"cycle": cycle}} if cycle else {}
 t0 = time.time()
 samples = rev_study(phase, 1, sizes=(crop,), num_samples=n_samples,
                     eps=1e-9, precond="gmg", verbose=1,
-                    csv_path="/tmp/rev_bench.csv")
+                    csv_path="/tmp/rev_bench.csv", **extra)
 dt = time.time() - t0
 ok = sum(s.converged for s in samples)
 log(f"REV {n_samples} x {crop}^3 x 3: {dt:.1f}s total "
