@@ -37,6 +37,14 @@ Fine-level transfers are matrix-free: prolong = S0 (PC-prolong e), one
 extra fused matvec; restrict = blocksum(S0^T r), one more.  The V-cycle
 with symmetric damped-Jacobi smoothing and R = P^T per level remains a
 fixed SPD operator, so CG stays valid.
+
+HBM budget (measured): at 512^3 on a 16 GiB v5e the SA V-cycle fits for
+the flow-through (tortuosity) operator but the SA W-cycle and the SA-
+preconditioned PERIODIC cell problem both exhaust HBM (the cell problem
+carries a dense f32 ``diag_full`` plus wrap-coupled 33-tap coarse levels
+on top of the CG state).  ``precond="auto"`` therefore keeps GMG on TPU;
+request SA explicitly only where iterations dominate wall time
+(CPU/virtual-mesh runs) or at <= 256^3.
 """
 
 from __future__ import annotations

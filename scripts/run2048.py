@@ -1,0 +1,119 @@
+"""2048^3 weak-scaling INGEST rehearsal on the 8-device virtual mesh (CPU).
+
+The BASELINE.json weak-scaling config (2048^3 over v5e-16) needs ~130 GiB
+of f32 solver state and 16 real chips, so the solve itself is hardware-
+blocked; what CAN be rehearsed on this host is everything up to it, and
+that is exactly the part round 2 flagged as impossible: a 2048^3 uint8
+volume (8 GiB) exceeds the classic-TIFF 4 GiB cap, so it only enters
+through the BigTIFF door (io/tiff_raw.py; the reference reads BigTIFF via
+libtiff 4.6, containers/Singularity.deps.def:20-26).
+
+Pipeline: synthesize a 2048^3 blob volume -> write it as a BigTIFF stack
+(streamed page generator, never materialised) -> distributed ingest
+(TiffReader Z pages scattered into per-device X slabs, io/ingest.py) ->
+sharded percolation (per-shard native BFS + boundary-plane exchange) ->
+volume fraction + active VF.  Reports phase timings; asserts the
+X-percolation column survives end to end.
+
+Heavy: ~8.4 GiB on disk, ~30-40 GiB RAM, ~1 h on this 1-core host.
+
+    nohup python scripts/run2048.py > /tmp/run2048.log 2>&1 &
+
+Env: N (default 2048).
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path[:] = [p for p in sys.path if ".axon_site" not in p]
+os.environ.pop("JAX_PLATFORMS", None)
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=8"
+    + " --xla_cpu_collective_call_terminate_timeout_seconds=900"
+    + " --xla_cpu_collective_timeout_seconds=900").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+import numpy as np
+
+N = int(os.environ.get("N", "2048"))
+path = f"/tmp/ingest_demo_{N}.btif"
+
+
+def log(*a):
+    print(f"[{time.strftime('%H:%M:%S')}]", *a, flush=True)
+
+
+def page_gen(rng):
+    """Z pages (Y, X) of a correlated blob volume, slab-at-a-time: porosity
+    ~0.45 with a guaranteed X-percolating column (same recipe as the 1024^3
+    rehearsal, scripts/run1024.py)."""
+    from scipy.ndimage import gaussian_filter
+
+    chunk = 32
+    for z0 in range(0, N, chunk):
+        field = gaussian_filter(
+            rng.standard_normal((N, N, chunk), dtype=np.float32), (4, 4, 4),
+            mode="nearest")
+        thr = np.quantile(field[::8, ::8, :], 0.45)
+        slab = (field < thr).astype(np.uint8) * 255  # (X, Y, z)
+        slab[:, N // 2, :] = 255  # guaranteed X percolation
+        for dz in range(chunk):
+            yield np.ascontiguousarray(slab[:, :, dz].T)  # page = (Y, X)
+
+
+def main():
+    t_all = time.time()
+    if not os.path.exists(path) or os.path.getsize(path) < N ** 3:
+        from openimpala_tpu.io.tiff_raw import write_tiff
+
+        log(f"writing {N}^3 BigTIFF stack ({N**3/2**30:.1f} GiB)...")
+        t0 = time.time()
+        write_tiff(path, page_gen(np.random.default_rng(0)), big=True)
+        log(f"BigTIFF written: {time.time()-t0:.0f}s  "
+            f"{os.path.getsize(path)/2**30:.2f} GiB on disk")
+    if N ** 3 > 2 ** 32:
+        assert os.path.getsize(path) > 2 ** 32, "not past the classic-TIFF cap"
+
+    from openimpala_tpu.io.tiff import TiffReader
+    from openimpala_tpu.io.ingest import threshold_sharded
+    from openimpala_tpu.parallel.mesh import make_mesh
+    from openimpala_tpu.props.volume_fraction import volume_fraction
+
+    mesh = make_mesh()
+    log(f"mesh: {mesh.devices.size} devices")
+
+    t0 = time.time()
+    reader = TiffReader(path)
+    assert reader.shape == (N, N, N), reader.shape
+    arr, orig_shape = threshold_sharded(reader, 127.0, mesh)
+    jax.block_until_ready(arr)
+    log(f"distributed ingest (BigTIFF Z pages -> X slabs): "
+        f"{time.time()-t0:.1f}s  shape={arr.shape} "
+        f"sharding={len(arr.sharding.device_set)} devices")
+
+    t0 = time.time()
+    vf = volume_fraction(arr, 1)
+    log(f"volume fraction: {vf:.6f}  ({time.time()-t0:.1f}s)")
+    assert 0.40 <= vf <= 0.50, vf
+
+    from openimpala_tpu.ops.floodfill import percolation_mask_sharded
+
+    t0 = time.time()
+    active, active_vf = percolation_mask_sharded(arr, 1, 0,
+                                                original_shape=orig_shape)
+    jax.block_until_ready(active)
+    log(f"sharded percolation: {time.time()-t0:.1f}s  "
+        f"active_vf={active_vf:.6f}")
+    assert active_vf > 0.0, "percolation column lost"
+    log(f"TOTAL (incl. synth+write): {time.time()-t_all:.1f}s")
+
+
+if __name__ == "__main__":
+    main()
