@@ -250,3 +250,50 @@ def test_warmup_internals_run_on_cpu():
     assert warmup.maybe_start((256, 256, 256), 0, -1.0, 1.0, (1.0, 1.0, 1.0),
                               "float32", None, None, "auto", None, "cg",
                               jnp.float32, jnp.float64, 1e-9) is None
+
+
+def test_fgmres_f32_plateau_breaks(problem):
+    """An f32 FGMRES asked for an unreachable tolerance must end at the
+    Gram-Schmidt noise floor (two no-progress cycles), not spin to maxiter
+    (solve/fgmres.py stall break; VERDICT r2 weak #5: 390 spun iterations
+    at 512^3)."""
+    from openimpala_tpu.solve.refine import make_precond
+
+    system, x0, _ = problem
+    sys32 = system.astype(jnp.float32)
+    r0 = sys32.initial_residual(x0.astype(jnp.float32))
+    M = make_precond(sys32, "gmg")
+    res = fgmres(sys32, r0, sys32.b_norm, 1e-14, 4000, precond=M, restart=10)
+    assert not bool(res.converged)
+    assert float(res.rel_res) < 1e-4  # real progress before the floor
+    assert int(res.iterations) <= 200  # stopped within a few cycles
+
+
+def test_fgmres_host_loop_plateau_breaks(problem):
+    """The per-cycle host-dispatch driver (the TPU >=192^3 path) applies
+    the same stall break."""
+    from openimpala_tpu.solve.fgmres import _fgmres_host_loop
+    from openimpala_tpu.solve.refine import make_precond
+
+    system, x0, _ = problem
+    sys32 = system.astype(jnp.float32)
+    r0 = sys32.initial_residual(x0.astype(jnp.float32))
+    M = make_precond(sys32, "gmg")
+    res = _fgmres_host_loop(sys32, r0, float(sys32.b_norm), 1e-14, 4000,
+                            M, 10)
+    assert not bool(res.converged)
+    assert float(res.rel_res) < 1e-4
+    assert int(res.iterations) <= 200
+
+
+def test_solve_system_gmres_refinement_reaches_1e9(problem):
+    """solver_type = GMRES production path: f32 FGMRES cycles under f64
+    iterative refinement reach 1e-9 even though every inner solve plateaus
+    at the f32 noise floor (each refinement round re-scales the residual
+    into a fresh Krylov space)."""
+    system, x0, x_direct = problem
+    x_full, info = solve_system(system, x0, eps=1e-9, maxiter=20000,
+                                method="gmres", precond="gmg",
+                                inner_dtype=jnp.float32)
+    assert bool(info.converged) and float(info.rel_res) <= 1e-9
+    np.testing.assert_allclose(np.asarray(x_full), x_direct, atol=1e-7)
