@@ -19,6 +19,8 @@ Two implementations with identical results:
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -138,6 +140,25 @@ def flood_fill_device_raster(phase_ok, seeds, max_rounds: int | None = None):
     return reach, iters
 
 
+@partial(jax.jit, static_argnames=("direction",))
+def _percolation_device_oneshot(phase_ok, direction: int):
+    """Inlet fill -> outlet fill restricted to the inlet-reachable set ->
+    active count, fused into one program (one dispatch, one scalar fetch).
+
+    The restriction is exact: any open path from a reach_in cell to the
+    outlet face lies entirely in the same connected component, hence
+    entirely in reach_in — so the second fill computes reach_in & reach_out
+    while sweeping a smaller, simpler domain (same trick as the native
+    BFS's hi pass, native/impala_native.cpp)."""
+    seeds_lo = (jnp.zeros(phase_ok.shape, bool)
+                .at[_face_slices(direction, True)].set(True))
+    seeds_hi = (jnp.zeros(phase_ok.shape, bool)
+                .at[_face_slices(direction, False)].set(True))
+    reach_in, _ = flood_fill_device_raster(phase_ok, seeds_lo)
+    active, _ = flood_fill_device_raster(reach_in, seeds_hi)
+    return active, jnp.sum(active, dtype=jnp.int64)
+
+
 def flood_fill_host(phase_ok: np.ndarray, direction: int):
     """Host connected-components percolation: returns (reach_inlet,
     reach_outlet) boolean volumes, equivalent to the two device flood fills."""
@@ -223,27 +244,24 @@ def percolation_mask(phase, phase_id: int, direction: int, method: str = "auto")
         phase_ok = upload_phase_mask(phase, phase_id)
     else:
         phase_ok = jnp.asarray(phase) == phase_id
+    sharded = len(getattr(phase_ok.sharding, "device_set", ())) > 1
+    if not sharded:
+        # both fills + the count as ONE program, ONE scalar fetch: each
+        # separate dispatch (seed checks, inter-fill hop, count) costs a
+        # tunnel round-trip that together rivaled the fills themselves.
+        # Empty seed faces need no early-out — they yield an empty mask and
+        # active_vf = 0.0 through the same program.
+        active, n_active = _percolation_device_oneshot(phase_ok, direction)
+        return active, int(n_active) / total
     seeds_lo = jnp.zeros(phase.shape, bool).at[_face_slices(direction, True)].set(True)
     seeds_hi = jnp.zeros(phase.shape, bool).at[_face_slices(direction, False)].set(True)
     if not any_true(phase_ok & seeds_lo) or not any_true(phase_ok & seeds_hi):
         return jnp.zeros(phase.shape, bool), 0.0
-    sharded = len(getattr(phase_ok.sharding, "device_set", ())) > 1
-    if sharded:
-        # GSPMD path: segmented scans along the sharded axis lower poorly;
-        # the synchronous dilation stays the multi-device fallback
-        reach_in, _ = flood_fill_device(phase_ok, seeds_lo)
-        reach_out, _ = flood_fill_device(phase_ok, seeds_hi)
-    else:
-        reach_in, _ = flood_fill_device_raster(phase_ok, seeds_lo)
-        # the outlet fill runs WITHIN the inlet-reachable set: any open path
-        # from a cell of reach_in to the outlet face lies entirely in the
-        # same connected component, hence entirely in reach_in — so the
-        # restricted fill computes exactly reach_in & reach_out while
-        # sweeping a smaller, simpler domain (same trick as the native BFS's
-        # hi pass, native/impala_native.cpp)
-        active, _ = flood_fill_device_raster(reach_in, seeds_hi)
-    if sharded:
-        active = reach_in & reach_out
+    # GSPMD path: segmented scans along the sharded axis lower poorly;
+    # the synchronous dilation stays the multi-device fallback
+    reach_in, _ = flood_fill_device(phase_ok, seeds_lo)
+    reach_out, _ = flood_fill_device(phase_ok, seeds_hi)
+    active = reach_in & reach_out
     return active, count_true(active) / total
 
 
