@@ -29,7 +29,7 @@ from ..ops.flux import deff_integrand_sum
 from ..ops.masks import phase_mask
 from ..ops.stencil import make_cell_problem_system
 from ..parallel.mesh import resolve_mesh
-from ..solve.refine import solve_system
+from ..solve.refine import make_precond, solve_system
 from ..utils.common import parse_direction
 
 
@@ -124,11 +124,18 @@ def effective_diffusivity(
 
     storage = dtype if inner_dtype is None else inner_dtype
     chis, iters, rels, convs = [], [], [], []
+    M = None
     for k in range(3):
         system, x0 = _build_cell_system(active, k, tuple(dx),
                                         jnp.dtype(storage).name)
+        if M is None:
+            # the cell-problem OPERATOR is k-independent — only the RHS
+            # carries the direction (ops/stencil.py make_cell_problem_system)
+            # — so the preconditioner hierarchy builds once and is shared by
+            # all three chi solves
+            M = make_precond(system, precond, precond_opts, method)
         chi_k, info = solve_system(
-            system, x0, eps=eps, maxiter=maxiter, method=method, precond=precond,
+            system, x0, eps=eps, maxiter=maxiter, method=method, precond=M,
             inner_dtype=inner_dtype, outer_dtype=dtype, precond_opts=precond_opts,
         )
         chis.append(chi_k)
