@@ -110,6 +110,19 @@ class TestPercolation:
         _, vf_y = percolation_mask(phase, 1, 1, method="host")
         assert vf_y == 0.0
 
+    def test_device_zero_percolation(self):
+        # empty seed faces flow through the fused one-dispatch device
+        # program to an empty mask and active_vf == 0.0 (there is no
+        # host-side early-out on the single-device raster path)
+        solid = np.zeros((8, 4, 4), np.int32)
+        mask, vf = percolation_mask(jnp.asarray(solid), 1, 0, method="device")
+        assert vf == 0.0 and not bool(np.asarray(mask).any())
+        channel = solid.copy()
+        channel[:, 1, 1] = 1  # X channel: no phase cells on the Y faces
+        mask_y, vf_y = percolation_mask(jnp.asarray(channel), 1, 1,
+                                        method="device")
+        assert vf_y == 0.0 and not bool(np.asarray(mask_y).any())
+
     def test_dead_end_excluded(self):
         phase = np.zeros((8, 5, 5), np.int32)
         phase[:, 1, 1] = 1  # percolating channel
