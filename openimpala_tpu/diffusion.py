@@ -178,9 +178,13 @@ def main(argv=None) -> int:
             )
             results[f"Tortuosity_{name}"] = r.value
             print(f"  >>> Calculated Tortuosity ({name}): {r.value:.8f} <<<")
-            # distributed ingest may have padded phase along X; every
-            # dataset in a plotfile must carry the ORIGINAL domain shape
-            phase_np = np.asarray(phase)[: orig_shape[0]].astype(np.float64)
+            if (cfg.write_plotfile and r.phi is not None) or (
+                    cfg.debug_write_active_mask and r.active is not None):
+                # distributed ingest may have padded phase along X; every
+                # dataset in a plotfile must carry the ORIGINAL domain
+                # shape.  Gathered only when a write actually happens — at
+                # 1024^3 this float64 host copy is ~8.6 GiB per direction.
+                phase_np = np.asarray(phase)[: orig_shape[0]].astype(np.float64)
             if cfg.write_plotfile and r.phi is not None:
                 base = os.path.join(cfg.results_path, f"tortuosity_solution_{d}")
                 write_volume_hdf5_xdmf(base, {

@@ -56,7 +56,6 @@ def upload_mask(mask, mesh=None):
 
     from ..parallel.mesh import shard_volume
 
-    global _unpack_bits
     if isinstance(mask, jax.Array):
         return shard_volume(mask, mesh) if mesh is not None else mask
     mask = np.asarray(mask, bool)
@@ -66,6 +65,15 @@ def upload_mask(mask, mesh=None):
     packed = np.packbits(mask, axis=-1)
     packed_j = shard_volume(jnp.asarray(packed), mesh) if mesh is not None \
         else jnp.asarray(packed)
+    return _unpack(packed_j)
+
+
+def _unpack(packed_j):
+    """Device-side MSB-first bit unpack, shared by both upload entry
+    points (lazily jitted once per process)."""
+    import jax
+
+    global _unpack_bits
     if _unpack_bits is None:
         _unpack_bits = jax.jit(_unpack_bits_impl)
     return _unpack_bits(packed_j)
@@ -75,17 +83,12 @@ def upload_phase_mask(phase: np.ndarray, phase_id: int):
     """``phase == phase_id`` on device, bit-packed on the wire: the compare
     and the MSB-first packing run fused in one native C pass when available
     (io/native.py pack_eq), else numpy compare + ``upload_mask``."""
-    import jax
-
     from ..io import native
 
-    global _unpack_bits
     packed = native.pack_eq(np.asarray(phase), phase_id)
     if packed is None:
         return upload_mask(np.asarray(phase) == phase_id)
-    if _unpack_bits is None:
-        _unpack_bits = jax.jit(_unpack_bits_impl)
-    return _unpack_bits(jnp.asarray(packed))
+    return _unpack(jnp.asarray(packed))
 
 
 def linear_ramp(shape, direction: int, vlo: float, vhi: float, dtype=jnp.float64):

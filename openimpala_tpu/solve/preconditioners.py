@@ -615,6 +615,15 @@ class GalerkinMGPreconditioner:
         if idx == 0:
             if not self.levels:  # volume too small to coarsen at all
                 diag, free = self.fine.decode(r.dtype)
+                if self.coarse_solver == "cheby":
+                    # the auto-scaled (degree, ratio) pair was calibrated
+                    # for a Chebyshev SOLVE; running that degree as plain
+                    # Jacobi sweeps (the _smooth default path) would cost
+                    # ~8x for no quality gain on uncoarsenable volumes
+                    return self._smooth_cheby(self.fine.apply_xla, diag,
+                                              free, jnp.zeros_like(r), r,
+                                              self.coarse_sweeps,
+                                              ratio=self.coarse_ratio)
                 return self._smooth(self.fine.apply_xla, diag, free,
                                     jnp.zeros_like(r), r, self.coarse_sweeps)
             x = self._fine_smooth(None, r, self.nu1)

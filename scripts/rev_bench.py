@@ -38,7 +38,8 @@ phase = np.asarray((field < thr).astype(np.int8))
 del field
 log(f"parent {n_parent}^3, {n_samples} x {crop}^3 crops x 3 directions")
 
-cycle = os.environ.get("CYCLE", "")  # "" = rev_study's default (W)
+cycle = os.environ.get("CYCLE", "")  # "" = rev_study's default (plain V —
+# the W advantage was retired by the Chebyshev coarse, props/rev.py)
 extra = {"precond_opts": {"cycle": cycle}} if cycle else {}
 t0 = time.time()
 samples = rev_study(phase, 1, sizes=(crop,), num_samples=n_samples,

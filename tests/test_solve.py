@@ -297,3 +297,28 @@ def test_solve_system_gmres_refinement_reaches_1e9(problem):
                                 inner_dtype=jnp.float32)
     assert bool(info.converged) and float(info.rel_res) <= 1e-9
     np.testing.assert_allclose(np.asarray(x_full), x_direct, atol=1e-7)
+
+
+def test_gmg_on_uncoarsenable_volume():
+    """Odd/small extents defeat _can_coarsen, leaving an empty hierarchy:
+    the preconditioner must fall back to a fine-level CHEBYSHEV solve at
+    the auto-scaled (degree, ratio) — not run that degree as plain Jacobi
+    sweeps — and still reach 1e-9 under refinement."""
+    from openimpala_tpu.solve.preconditioners import GalerkinMGPreconditioner
+    from reference_oracle import assemble_tortuosity_dense
+
+    shape = (9, 10, 7)
+    rng = np.random.default_rng(7)
+    active = rng.random(shape) < 0.75
+    active[:, 5, 3] = True  # percolation along X
+    system = make_tortuosity_system(jnp.asarray(active), 0, -1.0, 1.0)
+    M = GalerkinMGPreconditioner.from_system(system)
+    assert not M.levels  # the premise: nothing coarsenable
+    ramp = linear_ramp(shape, 0, -1.0, 1.0)
+    x0 = jnp.where(system.free, ramp, 0.0)
+    x_full, info = solve_system(system, x0, eps=1e-9, maxiter=5000,
+                                precond="gmg", inner_dtype=jnp.float32)
+    assert bool(info.converged)
+    A, b, _ = assemble_tortuosity_dense(active, 0, -1.0, 1.0)
+    x_direct = np.linalg.solve(A, b).reshape(shape)
+    np.testing.assert_allclose(np.asarray(x_full), x_direct, atol=1e-7)
