@@ -11,9 +11,11 @@ Heavy: ~30-40 GiB RAM, tens of minutes on this 1-core host.  Usage:
 
     nohup python scripts/run1024.py > /tmp/run1024.log 2>&1 &
 
-Env: N (default 1024), PRECOND (default gmg — the 46-iteration
-Chebyshev-coarse cycle), LEVELS (default 4: coarsest 128^3, the measured
-d100/r4000 regime from scripts/itersweep.py), EPS (default 1e-9).
+Env: N (default 1024), PRECOND (default gmg — the Chebyshev-coarse
+cycle), LEVELS (default 3, the production default: measured 52 iterations
+/ 7 338 s solve at 1024^3 vs 105 / 9 979 s with LEVELS=4 — every extra
+PC-Galerkin level re-adds the porous-mask contraction, scripts/geomprobe.py),
+EPS (default 1e-9).
 """
 import os
 import sys
@@ -38,7 +40,7 @@ import numpy as np
 
 N = int(os.environ.get("N", "1024"))
 PRECOND = os.environ.get("PRECOND", "gmg")
-LEVELS = int(os.environ.get("LEVELS", "4"))
+LEVELS = int(os.environ.get("LEVELS", "3"))
 EPS = float(os.environ.get("EPS", "1e-9"))
 path = f"/tmp/ingest_demo_{N}.raw"
 
