@@ -15,9 +15,10 @@ Architecture (TPU-first, not a port):
 - ``ops/``       masked stencil operators (pure-XLA and Pallas TPU kernels)
   replacing the Fortran fill kernels + Hypre StructMatrix — the solve is
   matrix-free.
-- ``solve/``     Krylov (CG / FlexGMRES / BiCGSTAB) + geometric multigrid
-  preconditioning + mixed-precision iterative refinement, replacing Hypre
-  FlexGMRES(SMG/PFMG).
+- ``solve/``     Krylov (CG / FlexGMRES; the BiCGSTAB solver *name* is
+  accepted and maps to CG — the eliminated systems are SPD, see
+  ``config.SOLVER_MAP``) + geometric multigrid preconditioning +
+  mixed-precision iterative refinement, replacing Hypre FlexGMRES(SMG/PFMG).
 - ``props/``     physics drivers: volume fraction, percolation masking,
   tortuosity, effective diffusivity, REV study, explicit baseline solver.
 - ``io/``        host-side readers/writers (TIFF/HDF5/DAT/RAW in; results.txt,

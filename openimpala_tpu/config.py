@@ -81,6 +81,10 @@ class DiffusionConfig:
     threshold_val: float = 0.5
     phase_id: int = 1
     solver_type: str = "FlexGMRES"
+    # decomposition granularity (Diffusion.cpp:209 — AMReX max_grid_size);
+    # wired to the distributed-ingest Z streaming chunk (diffusion.py
+    # load_phase_sharded), the granularity our device-count-driven
+    # decomposition actually exposes
     box_size: int = 32
     verbose: int = 1
     write_plotfile: bool = False

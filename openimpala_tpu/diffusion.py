@@ -65,7 +65,13 @@ def load_phase_sharded(cfg: DiffusionConfig, allow_pad: bool = False):
     mesh = make_mesh()
     if not allow_pad and reader.shape[0] % mesh.devices.size != 0:
         return None
-    return threshold_sharded(reader, cfg.threshold_val, mesh)
+    # box_size is the reference's decomposition-granularity knob
+    # (Diffusion.cpp:209,266-268 — max_grid_size of the BoxArray); our
+    # decomposition is device-count driven, so it maps to the analogous
+    # granularity we do control: the Z-slab streaming chunk of the
+    # distributed ingest (io/ingest.py threshold_sharded).
+    return threshold_sharded(reader, cfg.threshold_val, mesh,
+                             chunk=max(8, cfg.box_size))
 
 
 def parse_directions(s: str):
@@ -148,11 +154,16 @@ def main(argv=None) -> int:
                   "non-convergence.")
         if cfg.write_plotfile and res.chi is not None:
             base = os.path.join(cfg.results_path, "effdiff_chi")
+            phase_np = np.asarray(phase)
             write_volume_hdf5_xdmf(base, {
                 "chi_x": np.asarray(res.chi[0]),
                 "chi_y": np.asarray(res.chi[1]),
                 "chi_z": np.asarray(res.chi[2]),
-                "phase": phase.astype(np.float64),
+                "phase": phase_np.astype(np.float64),
+                # the solver's active mask (D=1 cells), matching the
+                # reference plotfile contents
+                # (EffectiveDiffusivityHypre.cpp:648-680)
+                "active_mask": (phase_np == cfg.phase_id).astype(np.float64),
             })
             print(f"Field snapshot written to {base}.h5/.xmf")
 

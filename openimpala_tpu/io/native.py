@@ -125,9 +125,8 @@ def pack_eq(phase: np.ndarray, phase_id: int):
     if (code is None or not phase.flags.c_contiguous
             or phase.shape[-1] % 8 != 0):
         return None
+    phase_id = _reinterpret_phase_id(phase.dtype, phase_id)
     if code == 0 and not (-128 <= phase_id < 128):
-        return None
-    if phase.dtype == np.uint8 and not (0 <= phase_id < 128):
         return None
     out = np.empty(phase.shape[:-1] + (phase.shape[-1] // 8,), np.uint8)
     rc = lib.impala_pack_eq(
@@ -159,6 +158,18 @@ _PHASE_DTYPES = {np.dtype(np.int8): 0, np.dtype(np.uint8): 0,
                  np.dtype(np.int32): 1}
 
 
+def _reinterpret_phase_id(dtype, phase_id: int) -> int:
+    """uint8 volumes ride the int8 C comparison: both the volume bytes and
+    the id pass through the same cast, so mapping an id in [128, 255] to its
+    int8 reinterpretation (id - 256) keeps the comparison an exact
+    bijection.  Ids outside [0, 255] can never match a uint8 volume and are
+    left as-is (the range guard then routes them to the slow fallback,
+    which correctly returns an empty mask)."""
+    if np.dtype(dtype) == np.uint8 and 128 <= phase_id <= 255:
+        return phase_id - 256
+    return phase_id
+
+
 def percolation_mask_phase(phase: np.ndarray, phase_id: int, direction: int):
     """Like percolation_mask but from the RAW phase volume: the
     ``phase == phase_id`` comparison happens inside the C pad copy, sparing
@@ -171,12 +182,13 @@ def percolation_mask_phase(phase: np.ndarray, phase_id: int, direction: int):
     code = _PHASE_DTYPES.get(phase.dtype)
     if code is None or not phase.flags.c_contiguous:
         return None
+    phase_id = _reinterpret_phase_id(phase.dtype, phase_id)
     if code == 0 and not (-128 <= phase_id < 128):
         # the C side static_casts phase_id to int8; out-of-range ids would
-        # wrap (e.g. 200 -> -56) and falsely match — fall back instead
+        # wrap (e.g. an int32 volume's id 200 -> -56) and falsely match —
+        # fall back instead (uint8 ids in [128,255] were already remapped
+        # to their exact int8 reinterpretation above)
         return None
-    if phase.dtype == np.uint8 and not (0 <= phase_id < 128):
-        return None  # int8 reinterpretation only safe for small ids
     active = np.empty(phase.shape, np.int8)
     n = lib.impala_percolation_mask_phase(
         phase.ctypes.data_as(ctypes.c_void_p), ctypes.c_int(code),

@@ -156,7 +156,11 @@ def _percolation_device_oneshot(phase_ok, direction: int):
                 .at[_face_slices(direction, False)].set(True))
     reach_in, _ = flood_fill_device_raster(phase_ok, seeds_lo)
     active, _ = flood_fill_device_raster(reach_in, seeds_hi)
-    return active, jnp.sum(active, dtype=jnp.int64)
+    # per-X-plane int32 counts (a plane holds <= dim^2 < 2^31 cells even at
+    # 8192^2); the host sums them in Python ints, so the total never rides
+    # a device integer that jnp.sum would silently downgrade to int32 when
+    # jax_enable_x64 is off (overflow above ~2.1e9 active cells at 2048^3)
+    return active, jnp.sum(active, axis=(1, 2), dtype=jnp.int32)
 
 
 def flood_fill_host(phase_ok: np.ndarray, direction: int):
@@ -251,8 +255,9 @@ def percolation_mask(phase, phase_id: int, direction: int, method: str = "auto")
         # tunnel round-trip that together rivaled the fills themselves.
         # Empty seed faces need no early-out — they yield an empty mask and
         # active_vf = 0.0 through the same program.
-        active, n_active = _percolation_device_oneshot(phase_ok, direction)
-        return active, int(n_active) / total
+        active, plane_counts = _percolation_device_oneshot(phase_ok, direction)
+        n_active = int(np.asarray(plane_counts).sum(dtype=np.int64))
+        return active, n_active / total
     seeds_lo = jnp.zeros(phase.shape, bool).at[_face_slices(direction, True)].set(True)
     seeds_hi = jnp.zeros(phase.shape, bool).at[_face_slices(direction, False)].set(True)
     if not any_true(phase_ok & seeds_lo) or not any_true(phase_ok & seeds_hi):

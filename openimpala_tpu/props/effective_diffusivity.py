@@ -137,6 +137,7 @@ def effective_diffusivity(
         chi_k, info = solve_system(
             system, x0, eps=eps, maxiter=maxiter, method=method, precond=M,
             inner_dtype=inner_dtype, outer_dtype=dtype, precond_opts=precond_opts,
+            verbose=verbose,
         )
         chis.append(chi_k)
         iters.append(int(info.iterations))

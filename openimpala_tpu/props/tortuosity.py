@@ -226,6 +226,7 @@ def tortuosity(
         x_full, info = solve_system(
             system, x0_free, eps=eps, maxiter=maxiter, method=method, precond=precond,
             inner_dtype=inner_dtype, outer_dtype=dtype, precond_opts=precond_opts,
+            verbose=verbose,
         )
     if solve_shape != shape:
         # crop the padding back off; all downstream quantities (fluxes,

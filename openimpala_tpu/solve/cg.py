@@ -135,11 +135,13 @@ def _rel0(r0, denom, eps):
 
 
 def _cg_chunked_loop(system, r0, denom, eps, maxiter: int, precond,
-                     chunk: int = 16):
+                     chunk: int = 16, verbose: int = 0):
     """Host-driven PCG advancing ``chunk`` fused iterations per dispatch
     (see _cg_chunk); convergence checked on the host between chunks.
     The prologue is a single tiny reduction — all preconditioner work
-    happens inside the chunk program."""
+    happens inside the chunk program.  ``verbose >= 2`` prints the
+    per-chunk residual trace (Hypre's per-iteration logging analogue,
+    ``TortuosityHypre.cpp:700-704``)."""
     dtype = r0.dtype
     denom = jnp.asarray(denom, dtype)
     rel0, done0 = _rel0(r0, denom, jnp.asarray(eps, dtype))
@@ -148,6 +150,8 @@ def _cg_chunked_loop(system, r0, denom, eps, maxiter: int, precond,
     while True:
         state = _cg_chunk(system, precond, state, denom, eps, chunk)
         it = int(state[4])
+        if verbose >= 2:
+            print(f"    cg it={it:5d}  rel_res={float(state[5]):.6e}")
         if bool(state[6]) or it >= maxiter:  # may overshoot by < chunk
             break
     z, r, p, rz, it, rel, done = state
@@ -213,7 +217,7 @@ HOST_LOOP_THRESHOLD_CELLS = 192 ** 3
 
 
 def cg(system, r0, denom, eps, maxiter: int, precond=None,
-       host_loop: bool | None = None) -> SolveResult:
+       host_loop: bool | None = None, verbose: int = 0) -> SolveResult:
     """Solve ``A z = r0`` on the free set with z0 = 0.
 
     ``denom`` is the relative-residual denominator — pass ``system.b_norm``
@@ -238,7 +242,8 @@ def cg(system, r0, denom, eps, maxiter: int, precond=None,
         # always chunk MG-preconditioned CG on TPU: each dispatch stays short
         # (the remote runtime dies on very long fused MG programs) and the
         # fine-level Pallas kernels are never nested inside a while_loop
-        return _cg_chunked_loop(system, r0, denom, eps, int(maxiter), precond)
+        return _cg_chunked_loop(system, r0, denom, eps, int(maxiter), precond,
+                                verbose=verbose)
     if host_loop is None:
         host_loop = isinstance(precond, MultigridPreconditioner) and big_tpu
     if host_loop:

@@ -107,8 +107,9 @@ def _arnoldi_cycle(system, precond, z, r, r0, restart: int):
     return z_new, r_new
 
 
-@partial(jax.jit, static_argnames=("maxiter", "restart"))
-def _fgmres_loop(system, r0, denom, eps, maxiter: int, precond, restart: int):
+@partial(jax.jit, static_argnames=("maxiter", "restart", "stall_break"))
+def _fgmres_loop(system, r0, denom, eps, maxiter: int, precond, restart: int,
+                 stall_break: bool = True):
     # ``precond`` is a pytree dataclass — see solve/preconditioners.py
     dtype = r0.dtype
     m = restart
@@ -118,14 +119,18 @@ def _fgmres_loop(system, r0, denom, eps, maxiter: int, precond, restart: int):
     z0 = jnp.zeros_like(r0)
     rel0 = jnp.sqrt(_dot(r0, r0)) / denom
     n_cycles = max(1, -(-maxiter // m))
+    stall_cap = 2 if stall_break else n_cycles + 1
 
     def cond(state):
         _, _, it, rel, done, stall = state
         # stall >= 2: two consecutive cycles without meaningful progress —
         # the dtype's noise floor (f32 Gram-Schmidt plateaus near 1e-5
         # relative); return to the caller (iterative refinement re-scales
-        # the residual and continues) instead of burning the budget
-        return (~done) & (it < n_cycles) & (stall < 2)
+        # the residual and continues) instead of burning the budget.
+        # Only armed when a refinement outer loop exists to continue the
+        # solve (``stall_break``) — an unrefined f64 run that converges
+        # slowly but steadily must use its whole maxiter budget.
+        return (~done) & (it < n_cycles) & (stall < stall_cap)
 
     def body(state):
         z, r, it, rel, done, stall = state
@@ -141,7 +146,8 @@ def _fgmres_loop(system, r0, denom, eps, maxiter: int, precond, restart: int):
 
 
 def _fgmres_host_loop(system, r0, denom, eps, maxiter: int, precond,
-                      restart: int):
+                      restart: int, stall_break: bool = True,
+                      verbose: int = 0):
     """Restart cycles dispatched one at a time, convergence on the host."""
     dtype = r0.dtype
     eps_v, denom_v = float(eps), float(denom)
@@ -154,16 +160,20 @@ def _fgmres_host_loop(system, r0, denom, eps, maxiter: int, precond,
         z, r = _arnoldi_cycle(system, precond, z, r, r0, restart)
         it += restart
         rel_new = float(jnp.sqrt(_dot(r, r))) / denom_v
+        if verbose >= 2:
+            print(f"    fgmres it={it:5d}  rel_res={rel_new:.6e}")
         if not (rel_new == rel_new):  # NaN breakdown
             rel = rel_new
             break
         # plateau at the dtype's noise floor (measured: f32 Gram-Schmidt
         # stalls near 8e-6 at 512^3): two consecutive no-progress cycles
         # end the solve — under iterative refinement the outer loop
-        # re-scales the residual and continues in a fresh Krylov space
+        # re-scales the residual and continues in a fresh Krylov space.
+        # Only armed under refinement (``stall_break``); an unrefined
+        # solve keeps its full maxiter budget.
         stall = stall + 1 if rel_new > rel * 0.999 else 0
         rel = rel_new
-        if stall >= 2:
+        if stall_break and stall >= 2:
             break
     return SolveResult(
         z=z, iterations=jnp.asarray(it, jnp.int32),
@@ -186,8 +196,11 @@ def _auto_restart(r0, restart: int) -> int:
 
 
 def fgmres(system, r0, denom, eps, maxiter: int, precond=None,
-           restart: int = 20):
-    """Solve ``A z = r0`` (free set, z0=0) with restarted flexible GMRES."""
+           restart: int = 20, stall_break: bool = True, verbose: int = 0):
+    """Solve ``A z = r0`` (free set, z0=0) with restarted flexible GMRES.
+
+    ``stall_break``: arm the two-cycle plateau break (pass True only when an
+    iterative-refinement outer loop exists to re-scale and continue)."""
     from .preconditioners import IdentityPreconditioner
 
     if precond is None:
@@ -197,6 +210,7 @@ def fgmres(system, r0, denom, eps, maxiter: int, precond=None,
     restart = _auto_restart(r0, restart)
     if jax.default_backend() == "tpu" and r0.size >= 192 ** 3:
         return _fgmres_host_loop(system, r0, denom, eps, int(maxiter),
-                                 precond, restart)
+                                 precond, restart, stall_break=stall_break,
+                                 verbose=verbose)
     return _fgmres_loop(system, r0, denom, eps, int(maxiter), precond,
-                        int(restart))
+                        int(restart), stall_break=stall_break)

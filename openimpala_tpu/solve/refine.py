@@ -34,11 +34,16 @@ from .cg import cg, SolveResult, jacobi_preconditioner
 from .fgmres import fgmres
 
 
-def _krylov(method: str, system, r0, denom, eps, maxiter, precond):
+def _krylov(method: str, system, r0, denom, eps, maxiter, precond,
+            refined: bool = True, verbose: int = 0):
     if method in ("cg", "pcg"):
-        return cg(system, r0, denom, eps, maxiter, precond=precond)
+        return cg(system, r0, denom, eps, maxiter, precond=precond,
+                  verbose=verbose)
     if method in ("flexgmres", "gmres", "fgmres"):
-        return fgmres(system, r0, denom, eps, maxiter, precond=precond)
+        # the FGMRES plateau break is only safe when an iterative-refinement
+        # outer loop exists to re-scale the residual and continue (``refined``)
+        return fgmres(system, r0, denom, eps, maxiter, precond=precond,
+                      stall_break=refined, verbose=verbose)
     raise ValueError(f"unknown Krylov method: {method}")
 
 
@@ -95,6 +100,7 @@ def solve_system(
     inner_round_cap: int = 5000,
     outer_dtype=jnp.float64,
     precond_opts=None,
+    verbose: int = 0,
 ):
     """Solve the StencilSystem to ``||b - A x|| / ||b_full|| <= eps``.
 
@@ -114,7 +120,8 @@ def solve_system(
     if inner_dtype is None or jnp.dtype(inner_dtype) == jnp.dtype(outer_dtype):
         r0 = system.initial_residual(x0_free.astype(storage_dtype))
         res = _krylov(method, system, r0, system.b_norm, eps, maxiter,
-                      make_precond(system, precond, precond_opts, method))
+                      make_precond(system, precond, precond_opts, method),
+                      refined=False, verbose=verbose)
         x_full = system.assemble_solution(x0_free + res.z)
         return x_full, res
 
@@ -136,6 +143,8 @@ def solve_system(
     for _ in range(int(max_refine_rounds)):
         r_hi, scale = _outer_residual(system, z_total, jnp.dtype(outer_dtype).name)
         rel = scale / denom
+        if verbose >= 2:
+            print(f"  refine round: outer rel_res={float(rel):.6e}")
         if bool(rel <= eps):
             break
         if bool(rel >= prev_rel * 0.5) and bool(jnp.isfinite(prev_rel)):
@@ -154,7 +163,8 @@ def solve_system(
         need = float(eps / rel) * 0.3 if rel > 0 else inner_eps
         round_eps = min(max(inner_eps, need), 0.099)
         inner = _krylov(method, system, r_lo, jnp.asarray(1.0, inner_dtype),
-                        round_eps, min(budget, int(inner_round_cap)), M_lo)
+                        round_eps, min(budget, int(inner_round_cap)), M_lo,
+                        refined=True, verbose=verbose)
         z_total = z_total + scale * inner.z.astype(outer_dtype)
         total_iters = total_iters + inner.iterations
         budget -= int(inner.iterations)

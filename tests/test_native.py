@@ -68,6 +68,26 @@ def test_pack_eq_matches_numpy(rng):
         got = native.pack_eq(ph, pid)
         want = np.packbits(ph == pid, axis=-1)
         np.testing.assert_array_equal(got, want)
-    assert native.pack_eq(np.zeros((8, 8, 8), np.uint8), 200) is None
+    # uint8 ids in [128, 255] ride the exact int8 reinterpretation (both the
+    # volume bytes and the id pass through the same cast — a bijection)
+    ph = rng.integers(0, 256, (8, 8, 16)).astype(np.uint8)
+    got = native.pack_eq(ph, 200)
+    np.testing.assert_array_equal(got, np.packbits(ph == 200, axis=-1))
+    assert native.pack_eq(np.zeros((8, 8, 8), np.uint8), 300) is None
     assert native.pack_eq(np.zeros((8, 8, 8), np.int8), 300) is None
     assert native.pack_eq(np.zeros((8, 8, 9), np.int8), 1) is None
+
+
+def test_percolation_mask_phase_uint8_high_id(rng):
+    """percolation_mask_phase on a uint8 volume with a phase id >= 128 must
+    agree with the host connected-components route (io/native.py
+    _reinterpret_phase_id)."""
+    from openimpala_tpu.ops.floodfill import percolation_mask
+
+    ph = np.where(rng.random((16, 12, 8)) < 0.6, 200, 3).astype(np.uint8)
+    res = native.percolation_mask_phase(ph, 200, 0)
+    assert res is not None, "uint8 high-id fast path should be available"
+    nat_mask, nat_n = res
+    host_mask, vf_h = percolation_mask(ph, 200, 0, method="host")
+    np.testing.assert_array_equal(nat_mask, np.asarray(host_mask))
+    assert nat_n == int(np.asarray(host_mask).sum())

@@ -286,6 +286,25 @@ def test_fgmres_host_loop_plateau_breaks(problem):
     assert int(res.iterations) <= 200
 
 
+def test_fgmres_stall_break_disarmed_uses_budget(problem):
+    """Without a refinement outer loop (``stall_break=False``, the unrefined
+    path) FGMRES must keep using its maxiter budget instead of returning
+    early at two slow cycles (ADVICE r3: a slowly-but-steadily converging
+    unrefined solve was cut off)."""
+    from openimpala_tpu.solve.refine import make_precond
+
+    system, x0, _ = problem
+    sys32 = system.astype(jnp.float32)
+    r0 = sys32.initial_residual(x0.astype(jnp.float32))
+    M = make_precond(sys32, "gmg")
+    armed = fgmres(sys32, r0, sys32.b_norm, 1e-14, 300, precond=M,
+                   restart=10, stall_break=True)
+    disarmed = fgmres(sys32, r0, sys32.b_norm, 1e-14, 300, precond=M,
+                      restart=10, stall_break=False)
+    assert int(armed.iterations) < 300  # plateau break fired
+    assert int(disarmed.iterations) >= 300  # full budget used
+
+
 def test_solve_system_gmres_refinement_reaches_1e9(problem):
     """solver_type = GMRES production path: f32 FGMRES cycles under f64
     iterative refinement reach 1e-9 even though every inner solve plateaus
