@@ -68,8 +68,19 @@ def main():
     t_all = time.time()
     import jax
 
-    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             ".jax_cache")
+    repo = os.path.dirname(os.path.abspath(__file__))
+    cold = "--cold" in sys.argv[1:]
+    if cold:
+        # cold mode: a fresh, empty compilation cache — every program pays
+        # the full (remote) compile, so the end-to-end numbers include
+        # compile latency instead of hiding it behind the persistent cache
+        # (VERDICT r3 #9: bench artifacts mixed warm/cold tunnel effects)
+        import tempfile
+
+        cache_dir = tempfile.mkdtemp(prefix="openimpala_coldcache_")
+        log(f"COLD mode: fresh compile cache at {cache_dir}")
+    else:
+        cache_dir = os.path.join(repo, ".jax_cache")
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     import jax.numpy as jnp
@@ -197,12 +208,27 @@ def main():
 
     log(f"total bench time: {time.time()-t_all:.1f}s")
 
-    print(json.dumps({
+    # warm/cold bookkeeping: a --cold run records its numbers; the default
+    # (warm) run embeds the latest cold record so one artifact carries both
+    record = {"t_tau_s": round(t_tau, 2), "matvec_gbps": round(gbps, 2),
+              "n": n, "total_s": round(time.time() - t_all, 1)}
+    cold_path = os.path.join(repo, "bench_logs", "cold_latest.json")
+    out = {
         "metric": f"masked_stencil_matvec_bandwidth_{n}cubed",
         "value": round(gbps, 2),
         "unit": "GB/s",
         "vs_baseline": round(gbps / peak_bw(dev), 4),
-    }))
+    }
+    if cold:
+        os.makedirs(os.path.dirname(cold_path), exist_ok=True)
+        with open(cold_path, "w") as f:
+            json.dump(record, f)
+        out["cold"] = record
+    else:
+        out["warm"] = record
+        if os.path.exists(cold_path):
+            out["cold"] = json.load(open(cold_path))
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

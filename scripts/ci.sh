@@ -29,6 +29,16 @@ grep -q "Tortuosity_X" "$SMOKE/results/results.txt"
 OPENIMPALA_PLATFORM=cpu timeout 600 python -m openimpala_tpu.diffusion \
     "$SMOKE/inputs" calculation_method=homogenization
 
+echo "=== CLI smoke: %04d TIFF sequence reader path ==="
+OPENIMPALA_PLATFORM=cpu timeout 600 python -m openimpala_tpu.diffusion \
+    "$SMOKE/inputs" "filename=sample_2phase_seq_%04d.tif" \
+    calculation_method=flow_through \
+    results_path="$SMOKE/results_seq/"
+grep -q "Tortuosity_X" "$SMOKE/results_seq/results.txt"
+# the sequence must reproduce the stack's numbers exactly
+diff <(grep "Tortuosity_X" "$SMOKE/results/results.txt") \
+     <(grep "Tortuosity_X" "$SMOKE/results_seq/results.txt")
+
 echo "=== multi-chip dry run (8 virtual devices) ==="
 timeout 600 python -c "import __graft_entry__ as g; g.dryrun_multichip(8)"
 

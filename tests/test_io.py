@@ -338,3 +338,48 @@ class TestBigTiff:
                 np.broadcast_to((np.arange(nx) % 251).astype(np.uint8),
                                 (ny, nx)), np.uint8(z % 256))
             np.testing.assert_array_equal(got, want)
+
+
+class TestSampleGenerator:
+    """scripts/make_sample_data.py output-format contracts (reference
+    emits VTK + XDMF + a TIFF sequence-compatible layout too,
+    create_sample_structure.py:101-216)."""
+
+    @pytest.fixture(scope="class")
+    def sample_dir(self, tmp_path_factory):
+        import subprocess
+        import sys
+
+        out = tmp_path_factory.mktemp("gen")
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        subprocess.run(
+            [sys.executable, os.path.join(repo, "scripts", "make_sample_data.py"),
+             "--n", "16", "--out", str(out)],
+            check=True, capture_output=True)
+        return out
+
+    def test_formats_agree(self, sample_dir):
+        stack = TiffReader(str(sample_dir / "sample_2phase_stack_3d_1bit.tif"))
+        seq = TiffReader(str(sample_dir / "sample_2phase_seq_%04d.tif"))
+        vol_stack = stack.threshold(0.5, 1, 0)
+        vol_seq = seq.threshold(0.5, 1, 0)
+        np.testing.assert_array_equal(vol_seq, vol_stack)
+        h5 = HDF5Reader(str(sample_dir / "sample_2phase_3d.hdf5"))
+        np.testing.assert_array_equal(h5.threshold(0.5, 1, 0), vol_stack)
+
+    def test_vtk_structure(self, sample_dir):
+        blob = (sample_dir / "sample_2phase_3d.vtk").read_bytes()
+        header, _, payload = blob.partition(b"LOOKUP_TABLE default\n")
+        assert b"DATASET STRUCTURED_POINTS" in header
+        assert b"DIMENSIONS 16 16 16" in header
+        vol = TiffReader(
+            str(sample_dir / "sample_2phase_stack_3d_1bit.tif")).threshold(0.5, 1, 0)
+        got = np.frombuffer(payload[: 16 ** 3], np.uint8).reshape(16, 16, 16).T
+        np.testing.assert_array_equal(got, vol)
+
+    def test_xdmf_parses_and_points_at_hdf5(self, sample_dir):
+        import xml.etree.ElementTree as ET
+
+        root = ET.parse(str(sample_dir / "sample_2phase_3d.xmf")).getroot()
+        items = [e.text.strip() for e in root.iter("DataItem") if e.text]
+        assert any("sample_2phase_3d.hdf5:/image" in t for t in items)
