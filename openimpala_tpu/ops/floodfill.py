@@ -140,27 +140,25 @@ def flood_fill_device_raster(phase_ok, seeds, max_rounds: int | None = None):
     return reach, iters
 
 
-@partial(jax.jit, static_argnames=("direction",))
 def _percolation_device_oneshot(phase_ok, direction: int):
     """Inlet fill -> outlet fill restricted to the inlet-reachable set ->
-    active count, fused into one program (one dispatch, one scalar fetch).
+    active count, fused into one program (one dispatch, one tiny fetch).
 
     The restriction is exact: any open path from a reach_in cell to the
     outlet face lies entirely in the same connected component, hence
     entirely in reach_in — so the second fill computes reach_in & reach_out
     while sweeping a smaller, simpler domain (same trick as the native
-    BFS's hi pass, native/impala_native.cpp)."""
-    seeds_lo = (jnp.zeros(phase_ok.shape, bool)
-                .at[_face_slices(direction, True)].set(True))
-    seeds_hi = (jnp.zeros(phase_ok.shape, bool)
-                .at[_face_slices(direction, False)].set(True))
-    reach_in, _ = flood_fill_device_raster(phase_ok, seeds_lo)
-    active, _ = flood_fill_device_raster(reach_in, seeds_hi)
-    # per-X-plane int32 counts (a plane holds <= dim^2 < 2^31 cells even at
-    # 8192^2); the host sums them in Python ints, so the total never rides
-    # a device integer that jnp.sum would silently downgrade to int32 when
-    # jax_enable_x64 is off (overflow above ~2.1e9 active cells at 2048^3)
-    return active, jnp.sum(active, axis=(1, 2), dtype=jnp.int32)
+    BFS's hi pass, native/impala_native.cpp).
+
+    Production path: the uint32-packed bit fill (ops/packfill.py) — 32x
+    less sweep traffic than the int16-event raster fill, which remains as
+    ``flood_fill_device_raster`` for the sharded fallback and
+    cross-validation.  Returns ``(active, per-word-plane int32 counts)``;
+    the host sums the counts in Python ints (no device int64 — overflow-
+    safe above ~2.1e9 active cells regardless of the x64 flag)."""
+    from .packfill import percolation_oneshot_packed
+
+    return percolation_oneshot_packed(phase_ok, direction)
 
 
 def flood_fill_host(phase_ok: np.ndarray, direction: int):

@@ -210,3 +210,70 @@ class TestRemspot:
         phase[0, 0, 0] = 0
         out = np.asarray(remspot(jnp.asarray(phase), 1))
         assert out[0, 0, 0] == 1  # flipped: no 0-neighbour
+
+
+class TestPackedFill:
+    """ops/packfill.py — the uint32-packed production device fill."""
+
+    def test_pack_unpack_roundtrip(self, rng):
+        from openimpala_tpu.ops.packfill import pack_x, unpack_x
+
+        for X in (8, 32, 33, 64, 100):
+            m = rng.random((X, 6, 10)) < 0.5
+            w = pack_x(jnp.asarray(m))
+            assert w.shape == (-(-X // 32), 6, 10) and w.dtype == jnp.uint32
+            np.testing.assert_array_equal(np.asarray(unpack_x(w, X)), m)
+
+    @pytest.mark.parametrize("shape", [(64, 16, 16), (100, 12, 16),
+                                       (33, 17, 19)])
+    def test_parity_vs_host_all_directions(self, rng, shape):
+        from openimpala_tpu.ops.floodfill import (
+            _face_slices, flood_fill_host)
+        from openimpala_tpu.ops.packfill import percolation_oneshot_packed
+
+        for por in (0.35, 0.6):
+            phase_ok = rng.random(shape) < por
+            for d in (0, 1, 2):
+                active, counts = percolation_oneshot_packed(
+                    jnp.asarray(phase_ok), d)
+                if (phase_ok[_face_slices(d, True)].any()
+                        and phase_ok[_face_slices(d, False)].any()):
+                    ri, ro = flood_fill_host(phase_ok, d)
+                    want = ri & ro
+                else:
+                    want = np.zeros(shape, bool)
+                np.testing.assert_array_equal(np.asarray(active), want)
+                assert int(np.asarray(counts).sum()) == int(want.sum())
+
+    def test_cross_word_channel(self):
+        # a 1-cell channel spanning 3 words exercises the carry-lookahead
+        # scan and both carry-run fills (low_run / high_run)
+        from openimpala_tpu.ops.packfill import percolation_oneshot_packed
+
+        phase = np.zeros((70, 4, 4), bool)
+        phase[:, 1, 1] = True
+        phase[40, 1, 1] = False  # break the channel mid-word-1
+        active, counts = percolation_oneshot_packed(jnp.asarray(phase), 0)
+        assert not np.asarray(active).any() and int(np.asarray(counts).sum()) == 0
+        phase[40, 1, 1] = True
+        active, counts = percolation_oneshot_packed(jnp.asarray(phase), 0)
+        assert np.asarray(active)[:, 1, 1].all()
+        assert int(np.asarray(counts).sum()) == 70
+
+    def test_serpentine_along_x(self):
+        # direction reversals ACROSS word boundaries: X-runs of open cells
+        # connected by single-cell jogs in Y, crossing x=32 repeatedly
+        from openimpala_tpu.ops.floodfill import flood_fill_host
+        from openimpala_tpu.ops.packfill import percolation_oneshot_packed
+
+        X, Y = 96, 10
+        phase = np.zeros((X, Y, 3), bool)
+        for j in range(Y):  # serpentine in the (X, Y) plane at Z=1
+            phase[:, j, 1] = j % 2 == 0
+            if j % 4 == 1:
+                phase[X - 1, j, 1] = True
+            elif j % 4 == 3:
+                phase[0, j, 1] = True
+        active, _ = percolation_oneshot_packed(jnp.asarray(phase), 0)
+        ri, ro = flood_fill_host(phase, 0)
+        np.testing.assert_array_equal(np.asarray(active), ri & ro)
