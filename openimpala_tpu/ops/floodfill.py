@@ -256,12 +256,21 @@ def percolation_mask(phase, phase_id: int, direction: int, method: str = "auto")
         active, plane_counts = _percolation_device_oneshot(phase_ok, direction)
         n_active = int(np.asarray(plane_counts).sum(dtype=np.int64))
         return active, n_active / total
+    # sharded: the packed fill runs device-resident under shard_map with
+    # explicit cross-shard carries (packfill.py) — the scans never cross
+    # the sharded axis implicitly, so the "segmented scans lower poorly
+    # under GSPMD" limitation of the raster fill does not apply
+    from .packfill import percolation_oneshot_packed_sharded
+
+    res = percolation_oneshot_packed_sharded(phase_ok, direction)
+    if res is not None:
+        active, counts = res
+        return active, int(np.asarray(counts).sum(dtype=np.int64)) / total
     seeds_lo = jnp.zeros(phase.shape, bool).at[_face_slices(direction, True)].set(True)
     seeds_hi = jnp.zeros(phase.shape, bool).at[_face_slices(direction, False)].set(True)
     if not any_true(phase_ok & seeds_lo) or not any_true(phase_ok & seeds_hi):
         return jnp.zeros(phase.shape, bool), 0.0
-    # GSPMD path: segmented scans along the sharded axis lower poorly;
-    # the synchronous dilation stays the multi-device fallback
+    # unsupported sharding layouts keep the synchronous-dilation fallback
     reach_in, _ = flood_fill_device(phase_ok, seeds_lo)
     reach_out, _ = flood_fill_device(phase_ok, seeds_hi)
     active = reach_in & reach_out

@@ -127,11 +127,18 @@ def _high_run(o):
     return _ks_fill_down(o, o & jnp.uint32(0x80000000))
 
 
-def _sweep_x(o, r, reverse: bool, carry_scan=_scan_semiring):
+def _default_carry_in(prop, gen, reverse: bool):
+    """Exclusive carry per word plane: the word-level (propagate, generate)
+    recurrence ``c_out = gen | (prop & c_in)`` resolved along axis 0."""
+    c_out = _scan_semiring(prop, gen, 0, reverse)
+    return _shift(c_out, 1, 0, reverse)
+
+
+def _sweep_x(o, r, reverse: bool, carry_in_fn=_default_carry_in):
     """One directional X sweep on the packed words: intra-word Kogge-Stone
     fill, carry-lookahead across word planes, carry-run fill.
-    ``carry_scan`` resolves the word-level (propagate, generate) recurrence
-    along axis 0 (overridden by the sharded driver to cross shards)."""
+    ``carry_in_fn`` resolves the word-level carry recurrence (overridden by
+    the sharded driver to carry across device shards)."""
     if not reverse:
         g = _ks_fill_up(o, r)
         gen = (g >> 31).astype(bool)  # fill reached the word's top bit
@@ -139,27 +146,30 @@ def _sweep_x(o, r, reverse: bool, carry_scan=_scan_semiring):
         g = _ks_fill_down(o, r)
         gen = (g & jnp.uint32(1)).astype(bool)
     prop = o == _FULL  # a carry crosses the whole word iff fully open
-    c_out = carry_scan(prop, gen, 0, reverse)
-    c_in = _shift(c_out, 1, 0, reverse)
+    c_in = carry_in_fn(prop, gen, reverse)
     run = _low_run(o) if not reverse else _high_run(o)
     return g | jnp.where(c_in, run, jnp.uint32(0))
 
 
-def fill_round(o, r, carry_scan=_scan_semiring):
+def fill_round(o, r, carry_in_fn=_default_carry_in):
     """Six directional sweeps (±X, ±Y, ±Z), state carried through — one
     round subsumes a 6-neighbour dilation step, so the fixed point equals
     BFS reachability while porous media converge in ~the number of
     direction changes of the hardest path."""
-    r = _sweep_x(o, r, False, carry_scan)
-    r = _sweep_x(o, r, True, carry_scan)
+    r = _sweep_x(o, r, False, carry_in_fn)
+    r = _sweep_x(o, r, True, carry_in_fn)
     for axis in (1, 2):
         for reverse in (False, True):
             r = _scan_semiring(o, r, axis, reverse)
     return r
 
 
-def packed_fill(o, r, max_rounds: int | None = None, carry_scan=_scan_semiring):
-    """Iterate fill rounds to the fixed point (reach stops changing)."""
+def packed_fill(o, r, max_rounds: int | None = None,
+                carry_in_fn=_default_carry_in, changed_fn=jnp.any):
+    """Iterate fill rounds to the fixed point (reach stops changing).
+    ``changed_fn`` reduces the per-element change mask to the loop predicate
+    (the sharded driver makes it a global psum so every shard iterates in
+    lockstep)."""
     if max_rounds is None:
         max_rounds = int(o.shape[0] * 32 + o.shape[1] + o.shape[2]) + 2
 
@@ -169,31 +179,27 @@ def packed_fill(o, r, max_rounds: int | None = None, carry_scan=_scan_semiring):
 
     def body(state):
         cur, _, it = state
-        new = fill_round(o, cur, carry_scan)
-        return new, jnp.any(new != cur), it + 1
+        new = fill_round(o, cur, carry_in_fn)
+        return new, changed_fn(new != cur), it + 1
 
-    r1 = fill_round(o, r, carry_scan)
-    state = (r1, jnp.any(r1 != r), jnp.asarray(1, jnp.int32))
+    r1 = fill_round(o, r, carry_in_fn)
+    state = (r1, changed_fn(r1 != r), jnp.asarray(1, jnp.int32))
     r, _, iters = jax.lax.while_loop(cond, body, state)
     return r, iters
 
 
-def _face_seeds_packed(o, X: int, direction: int, lo: bool):
-    """Packed seed mask: the open cells of the inlet/outlet face."""
-    xw = o.shape[0]
-    z = jnp.zeros_like(o)
+def _face_seeds_packed(o, face: int, direction: int, word_offset=0):
+    """Packed seed mask: the open cells of the global plane
+    ``{x,y,z}[direction] == face``.  ``word_offset`` is the global index of
+    this block's first word (nonzero inside a shard_map shard)."""
     if direction == 0:
-        if lo:
-            return o & jnp.uint32(1) & jnp.where(
-                jnp.arange(xw).reshape(-1, 1, 1) == 0, _FULL, jnp.uint32(0))
-        bit = jnp.uint32(1) << jnp.uint32((X - 1) % 32)
-        return o & bit & jnp.where(
-            jnp.arange(xw).reshape(-1, 1, 1) == (X - 1) // 32,
-            _FULL, jnp.uint32(0))
-    idx = 0 if lo else o.shape[direction] - 1
+        w, b = face // 32, face % 32
+        gw = word_offset + jnp.arange(o.shape[0]).reshape(-1, 1, 1)
+        return o & (jnp.uint32(1) << jnp.uint32(b)) & jnp.where(
+            gw == w, _FULL, jnp.uint32(0))
     sl = [slice(None)] * 3
-    sl[direction] = idx
-    return z.at[tuple(sl)].set(o[tuple(sl)])
+    sl[direction] = face
+    return jnp.zeros_like(o).at[tuple(sl)].set(o[tuple(sl)])
 
 
 @partial(jax.jit, static_argnames=("direction",))
@@ -206,10 +212,145 @@ def percolation_oneshot_packed(phase_ok, direction: int):
     is the active-cell count."""
     X = phase_ok.shape[0]
     o = pack_x(phase_ok)
-    seeds_lo = _face_seeds_packed(o, X, direction, True)
+    seeds_lo = _face_seeds_packed(o, 0, direction)
     reach_in, _ = packed_fill(o, seeds_lo)
-    seeds_hi = _face_seeds_packed(reach_in, X, direction, False)
+    outlet = X - 1 if direction == 0 else phase_ok.shape[direction] - 1
+    seeds_hi = _face_seeds_packed(reach_in, outlet, direction)
     active, _ = packed_fill(reach_in, seeds_hi)
     counts = jnp.sum(jax.lax.population_count(active).astype(jnp.int32),
                      axis=(1, 2), dtype=jnp.int32)
     return unpack_x(active, X), counts
+
+
+# ---------------------------------------------------------------------------
+# sharded driver (shard_map over the 1-D X mesh)
+# ---------------------------------------------------------------------------
+
+def _shift_ones(x, k: int, reverse: bool):
+    """One-filled shift along axis 0 (out-of-range counts as 'open path')."""
+    pad = [(0, 0)] * x.ndim
+    sl = [slice(None)] * x.ndim
+    if not reverse:
+        pad[0] = (k, 0)
+        sl[0] = slice(0, x.shape[0])
+    else:
+        pad[0] = (0, k)
+        sl[0] = slice(k, None)
+    return jnp.pad(x, pad, constant_values=True)[tuple(sl)]
+
+
+def _prefix_and_exclusive(prop, reverse: bool):
+    """pa[w] = AND of ``prop`` over local words strictly before w in sweep
+    order (True at the first word)."""
+    a = prop
+    n = prop.shape[0]
+    k = 1
+    while k < n:
+        a = a & _shift_ones(a, k, reverse)
+        k *= 2
+    return _shift_ones(a, 1, reverse)
+
+
+def _make_sharded_carry_in(axis_name: str):
+    """Cross-shard word-level carry: local carry-lookahead, then the shard
+    summaries — (A, B) = (carry propagates through the whole shard, carry
+    generated by the shard) — compose over the mesh via one all_gather of
+    two (Y, Z) boolean planes per sweep.  The X sweeps are the ONLY place
+    the fill touches the sharded axis, so this is the fill's entire
+    communication; the Y/Z semiring sweeps stay shard-local."""
+
+    def carry_in(prop, gen, reverse: bool):
+        b_loc = _scan_semiring(prop, gen, 0, reverse)  # zero-entry local scan
+        c_in_loc = _shift(b_loc, 1, 0, reverse)
+        pa = _prefix_and_exclusive(prop, reverse)
+        last = 0 if reverse else prop.shape[0] - 1
+        a_tot = pa[last] & prop[last]  # AND of every local prop
+        b_tot = b_loc[last]  # local carry-out with zero carry-in
+        a_all = jax.lax.all_gather(a_tot, axis_name)  # (D, Y, Z)
+        b_all = jax.lax.all_gather(b_tot, axis_name)
+        n_dev = a_all.shape[0]
+        idx = jax.lax.axis_index(axis_name)
+        order = range(n_dev) if not reverse else range(n_dev - 1, -1, -1)
+        c = jnp.zeros_like(b_tot)
+        c_mine = jnp.zeros_like(b_tot)
+        for s in order:  # exclusive compose in sweep order (D is static)
+            c_mine = jnp.where(idx == s, c, c_mine)
+            c = b_all[s] | (a_all[s] & c)
+        return c_in_loc | (pa & c_mine)
+
+    return carry_in
+
+
+def percolation_oneshot_packed_sharded(phase_ok, direction: int,
+                                       outlet: int | None = None):
+    """Distributed packed fill for an X-SHARDED boolean volume: the same
+    inlet fill -> restricted outlet fill -> count program under
+    ``shard_map``, with the word-level carries crossing shards via one
+    all_gather of two (Y, Z) planes per X sweep and a psum'd fixed-point
+    predicate.  Replaces both the O(sum dims) synchronous-dilation GSPMD
+    fallback and the host-bound per-shard BFS for device-resident volumes
+    (reference counterpart: parallelFloodFill's local-fill +
+    boundary-exchange structure, ``TortuosityHypre.cpp:297-389``).
+
+    ``outlet``: global index of the outlet plane along ``direction``
+    (defaults to the last plane; pass the original extent - 1 when the
+    volume carries ingest padding along X).  Returns ``(active, counts)``
+    with ``active`` bool sharded like ``phase_ok`` and ``counts`` an int32
+    per-word-plane vector (host-summable), or None when the sharding is
+    unsupported (not a 1-D X mesh, or X not divisible by 32 * n_devices).
+    """
+    from jax import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sharding = getattr(phase_ok, "sharding", None)
+    if not isinstance(sharding, NamedSharding):
+        return None
+    mesh = sharding.mesh
+    if len(mesh.axis_names) != 1:
+        return None
+    axis = mesh.axis_names[0]
+    if tuple(sharding.spec) not in ((axis,), (axis, None, None)):
+        return None
+    n_dev = mesh.devices.size
+    X = phase_ok.shape[0]
+    if X % (32 * n_dev) != 0:
+        return None
+    out_face = (phase_ok.shape[direction] - 1 if outlet is None
+                else int(outlet))
+    xwl = X // 32 // n_dev  # words per shard
+    carry_in_fn = _make_sharded_carry_in(axis)
+
+    def changed_fn(diff):
+        return jax.lax.psum(jnp.any(diff).astype(jnp.int32), axis) > 0
+
+    # the round cap mirrors the reference's GLOBAL sum(dims) + 2
+    # (TortuosityHypre.cpp:328) — local shapes would undershoot it
+    max_rounds = X + phase_ok.shape[1] + phase_ok.shape[2] + 2
+
+    def body(local_ok):
+        o = pack_x(local_ok)
+        offset = jax.lax.axis_index(axis) * xwl
+        seeds_lo = _face_seeds_packed(o, 0, direction, word_offset=offset)
+        reach_in, _ = packed_fill(o, seeds_lo, max_rounds,
+                                  carry_in_fn=carry_in_fn,
+                                  changed_fn=changed_fn)
+        seeds_hi = _face_seeds_packed(reach_in, out_face, direction,
+                                      word_offset=offset)
+        active, _ = packed_fill(reach_in, seeds_hi, max_rounds,
+                                carry_in_fn=carry_in_fn,
+                                changed_fn=changed_fn)
+        counts = jnp.sum(jax.lax.population_count(active).astype(jnp.int32),
+                         axis=(1, 2), dtype=jnp.int32)
+        return unpack_x(active, X // n_dev), counts
+
+    spec = P(axis, None, None)
+    key = (mesh, direction, out_face, phase_ok.shape)
+    f = _SHARDED_CACHE.get(key)
+    if f is None:
+        f = jax.jit(shard_map(body, mesh=mesh, in_specs=(spec,),
+                              out_specs=(spec, P(axis))))
+        _SHARDED_CACHE[key] = f
+    return f(phase_ok)
+
+
+_SHARDED_CACHE: dict = {}

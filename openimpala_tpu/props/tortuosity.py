@@ -132,11 +132,23 @@ def tortuosity(
         solve_shape = padded_shape
         storage = dtype if inner_dtype is None else inner_dtype
         with phase_timer("tortuosity/percolation_mask"):
-            # fast path: per-shard native BFS + boundary-plane exchange
-            # (linear work; the dilation below needs O(sum dims) passes)
-            res = percolation_mask_sharded(phase, phase_id, direction,
-                                           original_shape=shape)
+            # fastest path: device-resident packed fill under shard_map —
+            # the volume never leaves device memory and the only
+            # communication is two (Y, Z) carry planes per X sweep
+            from ..ops.packfill import percolation_oneshot_packed_sharded
+
+            res = percolation_oneshot_packed_sharded(
+                phase == phase_id, direction, outlet=outlet)
             if res is not None:
+                active_j, counts = res
+                active_vf = (int(np.asarray(counts).sum(dtype=np.int64))
+                             / int(np.prod(shape)))
+            # next: per-shard native BFS + boundary-plane exchange on the
+            # host (linear work; the dilation below needs O(sum dims)
+            # passes)
+            elif (res := percolation_mask_sharded(
+                    phase, phase_id, direction,
+                    original_shape=shape)) is not None:
                 active_j, active_vf = res
             else:
                 phase_ok = phase == phase_id

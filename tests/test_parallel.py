@@ -384,3 +384,74 @@ def test_tortuosity_driver_sharded_sa_matches_single(rng):
     assert r_sharded.flux_conserved
     assert abs(r_sharded.value - r_single.value) < 1e-7
     assert r_sharded.iterations == r_single.iterations
+
+
+class TestShardedPackedFill:
+    """ops/packfill.py percolation_oneshot_packed_sharded — the
+    device-resident distributed percolation (shard_map, cross-shard word
+    carries)."""
+
+    @pytest.mark.parametrize("direction", [0, 1, 2])
+    def test_parity_vs_host(self, rng, direction):
+        from openimpala_tpu.ops.floodfill import _face_slices, flood_fill_host
+        from openimpala_tpu.ops.packfill import (
+            percolation_oneshot_packed_sharded)
+
+        mesh = make_mesh(n_devices=8)
+        phase_ok = rng.random((512, 24, 20)) < 0.4
+        sharded = shard_volume(jnp.asarray(phase_ok), mesh)
+        res = percolation_oneshot_packed_sharded(sharded, direction)
+        assert res is not None
+        active, counts = res
+        if (phase_ok[_face_slices(direction, True)].any()
+                and phase_ok[_face_slices(direction, False)].any()):
+            ri, ro = flood_fill_host(phase_ok, direction)
+            want = ri & ro
+        else:
+            want = np.zeros(phase_ok.shape, bool)
+        np.testing.assert_array_equal(np.asarray(active), want)
+        assert int(np.asarray(counts).sum()) == int(want.sum())
+        # the result stays sharded like the input
+        assert len(active.sharding.device_set) == 8
+
+    def test_outlet_override_padded_volume(self, rng):
+        """Ingest-padded volumes percolate to the ORIGINAL outlet face; the
+        padded cells stay inactive (the tortuosity pre-sharded path)."""
+        from openimpala_tpu.ops.floodfill import flood_fill_host
+        from openimpala_tpu.ops.packfill import (
+            percolation_oneshot_packed_sharded)
+
+        mesh = make_mesh(n_devices=8)
+        phase_ok = rng.random((256, 16, 16)) < 0.5
+        padded = np.pad(phase_ok, ((0, 256), (0, 0), (0, 0)))
+        sharded = shard_volume(jnp.asarray(padded), mesh)
+        active, counts = percolation_oneshot_packed_sharded(
+            sharded, 0, outlet=255)
+        ri, ro = flood_fill_host(phase_ok, 0)
+        want = np.pad(ri & ro, ((0, 256), (0, 0), (0, 0)))
+        np.testing.assert_array_equal(np.asarray(active), want)
+        assert int(np.asarray(counts).sum()) == int(want.sum())
+
+    def test_unsupported_layouts_return_none(self, rng):
+        from openimpala_tpu.ops.packfill import (
+            percolation_oneshot_packed_sharded)
+
+        mesh = make_mesh(n_devices=8)
+        # X = 128 not divisible by 32 * 8
+        bad = shard_volume(jnp.asarray(rng.random((128, 16, 16)) < 0.5), mesh)
+        assert percolation_oneshot_packed_sharded(bad, 0) is None
+
+    def test_percolation_mask_sharded_input_uses_packed_fill(self, rng):
+        """percolation_mask on a pre-sharded volume routes to the packed
+        shard_map fill (not the O(sum dims) dilation) and matches host."""
+        from openimpala_tpu.ops.floodfill import (
+            flood_fill_host, percolation_mask)
+
+        mesh = make_mesh(n_devices=8)
+        phase = (rng.random((256, 16, 16)) < 0.45).astype(np.int32)
+        sharded = shard_volume(jnp.asarray(phase), mesh)
+        active, vf = percolation_mask(sharded, 1, 0)
+        ri, ro = flood_fill_host(phase == 1, 0)
+        want = ri & ro
+        np.testing.assert_array_equal(np.asarray(active), want)
+        assert vf == pytest.approx(want.sum() / phase.size)
