@@ -36,8 +36,16 @@ from .cg import SolveResult, _dot
 
 
 @partial(jax.jit, static_argnames=("restart",))
-def _arnoldi_cycle(system, precond, z, r, r0, restart: int):
-    """One FGMRES(m) restart cycle: returns (z_new, r_new)."""
+def _arnoldi_cycle(system, precond, z, r, r0, eps_abs, restart: int):
+    """One FGMRES(m) restart cycle: returns (z_new, r_new, ||r_new||).
+
+    The Arnoldi loop exits early once the ROTATED residual estimate
+    ``|g[j+1]|`` (exact in exact arithmetic) drops below ``eps_abs`` — with
+    deep restarts the tail of a converged cycle would otherwise burn up to
+    m-1 full V-cycle preconditioner applications for nothing.  The returned
+    norm is computed in the same program so the host driver needs one fetch
+    per cycle, not an extra dispatch (the tunnel round-trip rivals a
+    matvec)."""
     dtype = r.dtype
     shape = r.shape
     m = restart
@@ -53,8 +61,8 @@ def _arnoldi_cycle(system, precond, z, r, r0, restart: int):
     sn = jnp.zeros((m,), dtype)
     g = jnp.zeros((m + 1,), dtype).at[0].set(beta)
 
-    def body(j, carry):
-        V, Z, H, cs, sn, g = carry
+    def body(carry):
+        j, V, Z, H, cs, sn, g = carry
         zj = M(V[j])
         wv = system.apply(zj)
 
@@ -94,17 +102,33 @@ def _arnoldi_cycle(system, precond, z, r, r0, restart: int):
         gj = g[j]
         g = g.at[j].set(c * gj).at[j + 1].set(-s * gj)
         H = H.at[:, j].set(hcol)
-        return V, Z, H, cs, sn, g
+        return j + 1, V, Z, H, cs, sn, g
 
-    V, Z, H, cs, sn, g = jax.lax.fori_loop(0, m, body, (V, Z, H, cs, sn, g))
-    # back-substitution: H[:m,:m] (upper triangular) y = g[:m]
-    Hm = H[:m, :m] + jnp.where(
-        jnp.abs(jnp.diagonal(H[:m, :m])) > tiny, 0.0, tiny
-    ) * jnp.eye(m, dtype=dtype)
-    y = jax.scipy.linalg.solve_triangular(Hm, g[:m], lower=False)
+    def cond(carry):
+        j, _, _, _, _, _, g = carry
+        return (j < m) & ((j == 0) | (jnp.abs(g[j]) > eps_abs))
+
+    init = (jnp.asarray(0, jnp.int32), V, Z, H, cs, sn, g)
+    k, V, Z, H, cs, sn, g = jax.lax.while_loop(cond, body, init)
+    # back-substitution on the k completed columns: pad H[:m,:m] with an
+    # identity tail and zero the tail of g so the triangular solve yields
+    # y[i >= k] = 0 with a static shape
+    cols = jnp.arange(m)
+    live = cols < k
+    Hm = jnp.where(live[None, :] & live[:, None], H[:m, :m],
+                   jnp.eye(m, dtype=dtype))
+    Hm = Hm + jnp.where(jnp.abs(jnp.diagonal(Hm)) > tiny, 0.0, tiny
+                        ) * jnp.eye(m, dtype=dtype)
+    y = jax.scipy.linalg.solve_triangular(
+        Hm, jnp.where(live, g[:m], 0.0), lower=False)
     z_new = z + jnp.tensordot(y, Z, axes=1)
+    # explicit end-of-cycle residual: it doubles as the next cycle's Krylov
+    # seed, and rebuilding r from the Arnoldi relation V_{m+1} Q^T e_{m+1}
+    # g[k] instead would read m+1 basis fields (~(m+1)/2 matvecs of HBM
+    # traffic) AND drift from the true residual in f32 — measured worse,
+    # do not "optimise" this away
     r_new = r0 - system.apply(z_new)
-    return z_new, r_new
+    return z_new, r_new, jnp.sqrt(_dot(r_new, r_new)), k
 
 
 @partial(jax.jit, static_argnames=("maxiter", "restart", "stall_break"))
@@ -118,11 +142,10 @@ def _fgmres_loop(system, r0, denom, eps, maxiter: int, precond, restart: int,
 
     z0 = jnp.zeros_like(r0)
     rel0 = jnp.sqrt(_dot(r0, r0)) / denom
-    n_cycles = max(1, -(-maxiter // m))
-    stall_cap = 2 if stall_break else n_cycles + 1
+    stall_cap = 2 if stall_break else maxiter + 1
 
     def cond(state):
-        _, _, it, rel, done, stall = state
+        _, _, it, rel, done, stall, iters = state
         # stall >= 2: two consecutive cycles without meaningful progress —
         # the dtype's noise floor (f32 Gram-Schmidt plateaus near 1e-5
         # relative); return to the caller (iterative refinement re-scales
@@ -130,19 +153,24 @@ def _fgmres_loop(system, r0, denom, eps, maxiter: int, precond, restart: int,
         # Only armed when a refinement outer loop exists to continue the
         # solve (``stall_break``) — an unrefined f64 run that converges
         # slowly but steadily must use its whole maxiter budget.
-        return (~done) & (it < n_cycles) & (stall < stall_cap)
+        # ``iters`` counts COMPLETED Arnoldi steps (cycles may early-exit
+        # below m once the rotated estimate clears eps), so the budget is
+        # true matvecs, not cycles.
+        return (~done) & (iters < maxiter) & (stall < stall_cap)
+
+    eps_abs = eps * denom
 
     def body(state):
-        z, r, it, rel, done, stall = state
-        z, r = _arnoldi_cycle(system, precond, z, r, r0, m)
-        rel_new = jnp.sqrt(_dot(r, r)) / denom
+        z, r, it, rel, done, stall, iters = state
+        z, r, rnorm, k = _arnoldi_cycle(system, precond, z, r, r0, eps_abs, m)
+        rel_new = rnorm / denom
         stall = jnp.where(rel_new > rel * 0.999, stall + 1, 0)
-        return z, r, it + 1, rel_new, rel_new <= eps, stall
+        return (z, r, it + 1, rel_new, rel_new <= eps, stall, iters + k)
 
     state = (z0, r0, jnp.array(0, jnp.int32), rel0, rel0 <= eps,
-             jnp.array(0, jnp.int32))
-    z, r, it, rel, done, _ = jax.lax.while_loop(cond, body, state)
-    return SolveResult(z=z, iterations=it * m, rel_res=rel, converged=rel <= eps)
+             jnp.array(0, jnp.int32), jnp.array(0, jnp.int32))
+    z, r, it, rel, done, _, iters = jax.lax.while_loop(cond, body, state)
+    return SolveResult(z=z, iterations=iters, rel_res=rel, converged=rel <= eps)
 
 
 def _fgmres_host_loop(system, r0, denom, eps, maxiter: int, precond,
@@ -151,15 +179,17 @@ def _fgmres_host_loop(system, r0, denom, eps, maxiter: int, precond,
     """Restart cycles dispatched one at a time, convergence on the host."""
     dtype = r0.dtype
     eps_v, denom_v = float(eps), float(denom)
+    eps_abs = jnp.asarray(eps_v * denom_v, dtype)
     z = jnp.zeros_like(r0)
     r = r0
     it = 0
     stall = 0
     rel = float(jnp.sqrt(_dot(r, r))) / denom_v
     while rel > eps_v and it < maxiter:
-        z, r = _arnoldi_cycle(system, precond, z, r, r0, restart)
-        it += restart
-        rel_new = float(jnp.sqrt(_dot(r, r))) / denom_v
+        z, r, rnorm, k = _arnoldi_cycle(system, precond, z, r, r0, eps_abs,
+                                        restart)
+        it += int(k)
+        rel_new = float(rnorm) / denom_v
         if verbose >= 2:
             print(f"    fgmres it={it:5d}  rel_res={rel_new:.6e}")
         if not (rel_new == rel_new):  # NaN breakdown
@@ -181,16 +211,35 @@ def _fgmres_host_loop(system, r0, denom, eps, maxiter: int, precond,
     )
 
 
+def _device_hbm_budget(field_bytes: float) -> float:
+    """Per-device byte budget for the Krylov basis: 90 % of the device's
+    HBM limit minus an estimate of what is LIVE next to the basis during
+    the inner solve — the system code field + MG hierarchy (~3 fields'
+    worth, 1.5 GB measured at 512^3 f32) and, under iterative refinement,
+    the f64 accumulator + outer residual (~10 fields' worth, ~5 GB at
+    512^3).  Falls back to the measured-safe 6 GiB v5e constant when the
+    backend exposes no memory stats (CPU) — a 10 GB basis budget OOMed
+    512^3 on the 16 GB v5e, so the live estimate must stay conservative."""
+    fallback = 6 * 1024 ** 3
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        limit = stats.get("bytes_limit", 0) if stats else 0
+    except Exception:
+        limit = 0
+    if limit <= 0:
+        return fallback
+    live = 13 * field_bytes
+    return max(fallback, 0.9 * limit - live)
+
+
 def _auto_restart(r0, restart: int) -> int:
     """Cap the Krylov depth so (2m+1) basis fields fit in HBM next to the
-    solver state (per-device bytes; the X sharding divides the field)."""
+    solver state (per-device bytes; the X sharding divides the field).
+    The budget scales with the actual device HBM (``memory_stats``) so a
+    95 GB v5p is not capped to the 16 GB v5e's depth."""
     n_dev = max(1, len(getattr(r0.sharding, "device_set", [None])))
     field_bytes = r0.size * r0.dtype.itemsize / n_dev
-    # leave ~10 GB of a v5e for everything else that is LIVE during the
-    # inner solve: system + MG hierarchy (~1.5 GB at 512^3) and, under
-    # iterative refinement, the float64 z_total accumulator + outer
-    # residual (~5 GB at 512^3).  A 10 GB basis budget OOMed 512^3.
-    budget = 6 * 1024 ** 3
+    budget = _device_hbm_budget(field_bytes)
     m = int((budget / max(field_bytes, 1) - 1) // 2)
     return max(4, min(int(restart), m))
 

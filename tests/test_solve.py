@@ -341,3 +341,46 @@ def test_gmg_on_uncoarsenable_volume():
     A, b, _ = assemble_tortuosity_dense(active, 0, -1.0, 1.0)
     x_direct = np.linalg.solve(A, b).reshape(shape)
     np.testing.assert_allclose(np.asarray(x_full), x_direct, atol=1e-7)
+
+
+def test_fgmres_cycle_early_exit_iterations(problem):
+    """A restart cycle exits at the rotated-residual estimate instead of
+    burning the remaining V-cycles: with an MG preconditioner and a deep
+    restart, the reported iteration count is the COMPLETED Arnoldi steps,
+    well below ceil(iters/m)*m."""
+    from openimpala_tpu.solve.refine import make_precond
+
+    system, x0, x_direct = problem
+    r0 = system.initial_residual(x0)
+    M = make_precond(system, "gmg")
+    res = fgmres(system, r0, system.b_norm, 1e-10, 3000, precond=M,
+                 restart=30)
+    assert bool(res.converged)
+    # MG-preconditioned convergence on this 12x10x8 problem takes far
+    # fewer than 30 steps; without the early exit iterations would be 30
+    assert 0 < int(res.iterations) < 30
+    x = np.asarray(system.assemble_solution(x0 + res.z))
+    np.testing.assert_allclose(x, x_direct, atol=1e-8)
+
+
+def test_auto_restart_memory_budget():
+    """_auto_restart derives its HBM budget from device memory_stats when
+    available and falls back to the measured-safe 6 GiB otherwise; the cap
+    scales with per-device field bytes."""
+    from openimpala_tpu.solve.fgmres import _auto_restart, _device_hbm_budget
+
+    # CPU backends expose no bytes_limit -> 6 GiB fallback
+    assert _device_hbm_budget(512**3 * 4) >= 6 * 1024**3
+    # 512^3 f32 single-device under the fallback: (6 GiB/512 MiB - 1)//2 = 5
+    r = jnp.zeros((512, 64, 64), jnp.float32)  # stand-in: use explicit bytes
+    m = int((6 * 1024**3 / (512**3 * 4) - 1) // 2)
+    assert m == 5  # the documented v5e depth at 512^3
+    # small fields are never budget-capped
+    small = jnp.zeros((32, 32, 32), jnp.float32)
+    assert _auto_restart(small, 20) == 20
+    # the floor is 4 even for absurdly large fields
+    class _Fake:
+        size = 10 * 1024**3
+        dtype = np.dtype(np.float32)
+        sharding = None
+    assert _auto_restart(_Fake(), 20) == 4
