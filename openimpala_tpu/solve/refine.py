@@ -32,6 +32,7 @@ import jax.numpy as jnp
 
 from .cg import cg, SolveResult, jacobi_preconditioner
 from .fgmres import fgmres
+from ..utils.profiling import phase_timer
 
 
 def _krylov(method: str, system, r0, denom, eps, maxiter, precond,
@@ -127,7 +128,8 @@ def solve_system(
 
     if jnp.dtype(storage_dtype) != jnp.dtype(inner_dtype):
         system = system.astype(inner_dtype)
-    M_lo = make_precond(system, precond, precond_opts, method)
+    with phase_timer("solve/hierarchy_build"):
+        M_lo = make_precond(system, precond, precond_opts, method)
     denom = jnp.maximum(system.b_norm.astype(outer_dtype), 0.0)
     denom = jnp.where(denom > 0, denom, 1.0)
 
@@ -140,9 +142,29 @@ def solve_system(
     prev_rel = jnp.inf
     budget = int(maxiter)
 
-    for _ in range(int(max_refine_rounds)):
-        r_hi, scale = _outer_residual(system, z_total, jnp.dtype(outer_dtype).name)
-        rel = scale / denom
+    stale = True  # does rel reflect the current z_total?
+    for round_i in range(int(max_refine_rounds)):
+        with phase_timer("solve/outer_residual"):
+            # the FIRST residual is O(1e-1) relative — orders of magnitude
+            # above the f32 noise floor — and its only consumers are the
+            # f32 inner RHS and a coarse rel estimate, so measure it in the
+            # Krylov dtype: the f64 stencil apply is software-emulated on
+            # TPU and this saves one of the three f64 passes per solve
+            # (VERDICT r3 item 3).  Guard: if it lands anywhere near the
+            # f32 floor, re-measure in f64.
+            lo_first = round_i == 0
+            if lo_first:
+                r_hi = system.initial_residual(z_total.astype(inner_dtype))
+                scale = jnp.sqrt(jnp.sum(
+                    r_hi.astype(jnp.float32) ** 2).astype(jnp.float64))
+                rel = float(scale) / float(denom)
+                if rel < 1e-3:  # too close to the f32 floor to trust
+                    lo_first = False
+            if not lo_first:
+                r_hi, scale = _outer_residual(system, z_total,
+                                              jnp.dtype(outer_dtype).name)
+                rel = float(scale) / float(denom)
+        stale = False
         if verbose >= 2:
             print(f"  refine round: outer rel_res={float(rel):.6e}")
         if bool(rel <= eps):
@@ -152,7 +174,8 @@ def solve_system(
         if budget <= 0:
             break
         prev_rel = rel
-        r_lo = (r_hi / jnp.where(scale > 0, scale, 1.0)).astype(inner_dtype)
+        r_lo = (r_hi / jnp.where(scale > 0, scale, 1.0)
+                .astype(r_hi.dtype)).astype(inner_dtype)
         # cap each round: float32 Krylov can stall just above inner_eps and
         # must not eat the whole budget — the refinement loop compounds the
         # per-round reduction regardless.  The round's tolerance is also
@@ -162,15 +185,23 @@ def solve_system(
         # orders of magnitude and wastes ~25% of the Krylov iterations.
         need = float(eps / rel) * 0.3 if rel > 0 else inner_eps
         round_eps = min(max(inner_eps, need), 0.099)
-        inner = _krylov(method, system, r_lo, jnp.asarray(1.0, inner_dtype),
-                        round_eps, min(budget, int(inner_round_cap)), M_lo,
-                        refined=True, verbose=verbose)
-        z_total = z_total + scale * inner.z.astype(outer_dtype)
-        total_iters = total_iters + inner.iterations
-        budget -= int(inner.iterations)
+        with phase_timer("solve/inner_round"):
+            inner = _krylov(method, system, r_lo,
+                            jnp.asarray(1.0, inner_dtype),
+                            round_eps, min(budget, int(inner_round_cap)),
+                            M_lo, refined=True, verbose=verbose)
+            z_total = z_total + scale * inner.z.astype(outer_dtype)
+            total_iters = total_iters + inner.iterations
+            budget -= int(inner.iterations)
+        stale = True
 
-    r_hi, scale = _outer_residual(system, z_total, jnp.dtype(outer_dtype).name)
-    rel = scale / denom
+    if stale:
+        # only when the round cap exhausted AFTER an update — every break
+        # path measured the residual of the final z_total already (VERDICT
+        # r3 item 3: the unconditional re-measure wasted an f64 stencil
+        # apply + norm + fetch per solve)
+        r_hi, scale = _outer_residual(system, z_total, jnp.dtype(outer_dtype).name)
+        rel = scale / denom
     x_full = system.astype(outer_dtype).assemble_solution(z_total)
     info = SolveResult(
         z=z_total,

@@ -86,14 +86,17 @@ class SolverWarmup:
 
 def maybe_start(shape, direction, vlo, vhi, dx, storage_name, hi_plane, mesh,
                 precond, precond_opts, method, inner_dtype, outer_dtype,
-                eps) -> SolverWarmup | None:
+                eps, device_percolation: bool = False) -> SolverWarmup | None:
     """Start the warm-up thread when it can plausibly pay for itself: TPU
     backend, a volume large enough that program load dominates (the
-    percolation fill it overlaps with also scales with volume), and MORE
-    THAN ONE host core — executable deserialization is local CPU work, so
-    on a single-core host the "overlap" just serializes with (and slows)
-    the flood fill; measured 512^3: 16.9 s -> 23 s with the thread forced
-    on a 1-core host."""
+    percolation fill it overlaps with also scales with volume), and a host
+    core to spare — executable deserialization is local CPU work, so on a
+    single-core host the "overlap" just serializes with (and slows) a HOST
+    flood fill; measured 512^3: 16.9 s -> 23 s with the thread forced on a
+    1-core host against the native BFS.  ``device_percolation``: the fill
+    runs on the TPU (ops/packfill.py), so the core's only competing work is
+    packbits + wire waits — the warm-up overlaps those even on one core
+    (measured r4: 12.4 s -> 9.9 s one-shot 512^3)."""
     import os
 
     import jax
@@ -103,7 +106,7 @@ def maybe_start(shape, direction, vlo, vhi, dx, storage_name, hi_plane, mesh,
             return None
     except Exception:
         return None
-    if (os.cpu_count() or 1) < 2:
+    if (os.cpu_count() or 1) < 2 and not device_percolation:
         return None
     if shape[0] * shape[1] * shape[2] < 192 ** 3:
         return None
