@@ -106,6 +106,9 @@ class DiffusionConfig:
     rev_results_file: str = "rev_study_Deff.csv"
     rev_write_plotfiles: bool = False
     rev_verbose: int = 1
+    # "auto" | "true" | "false": vmap-batch same-shape crops (props/rev.py
+    # _resolve_batch policy; auto decides per group by crop size)
+    rev_batch: str = "auto"
     # raw-reader extras (no reference equivalent in the inputs surface:
     # the legacy raw example hard-codes dims; we expose them)
     raw_width: int = 0
@@ -149,6 +152,11 @@ class DiffusionConfig:
         c.rev_results_file = pp.query("rev.results_file", c.rev_results_file)
         c.rev_write_plotfiles = pp.query("rev.write_plotfiles", c.rev_write_plotfiles, bool)
         c.rev_verbose = pp.query("rev.verbose", c.rev_verbose, int)
+        c.rev_batch = pp.query("rev.batch", c.rev_batch, str).strip().lower()
+        if c.rev_batch not in ("auto", "true", "false", "1", "0", "yes",
+                               "no", "on", "off"):
+            raise ValueError(
+                f"rev.batch must be auto/true/false, got {c.rev_batch!r}")
         c.raw_width = pp.query("raw.width", c.raw_width, int)
         c.raw_height = pp.query("raw.height", c.raw_height, int)
         c.raw_depth = pp.query("raw.depth", c.raw_depth, int)

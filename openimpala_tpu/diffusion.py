@@ -132,6 +132,8 @@ def main(argv=None) -> int:
             eps=cfg.eps, maxiter=cfg.krylov_maxiter,
             method=resolve_solver(cfg.rev_solver_type), precond=cfg.precond,
             csv_path=csv_path, verbose=cfg.rev_verbose, inner_dtype=inner_dtype,
+            batch=(cfg.rev_batch if cfg.rev_batch == "auto"
+                   else cfg.rev_batch in ("true", "1", "yes", "on")),
             plotfile_dir=(os.path.join(cfg.results_path, "rev_plotfiles")
                           if cfg.rev_write_plotfiles else None),
         )

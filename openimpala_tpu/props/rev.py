@@ -16,7 +16,11 @@ study is statistical), the seeding *rule* is preserved.
 
 Same-size crops are embarrassingly parallel; ``batch=True`` stacks them and
 runs the three direction solves per crop under one fixed-iteration batched
-CG (vmap), converging on the max residual across the batch.
+CG (vmap), converging on the max residual across the batch.  The default
+``batch="auto"`` decides PER SAME-SHAPE GROUP: lockstep vmap lanes pay when
+individual crops underfill the chip; once a single crop saturates HBM
+bandwidth the sequential Galerkin-MG driver wins (measured at the BASELINE
+target 64 x 256^3 x 3 on a v5e — see BASELINE.md "REV batching" row).
 """
 
 from __future__ import annotations
@@ -78,6 +82,26 @@ def _draw_samples(phase, sizes, num_samples, rng, verbose):
     return boxes
 
 
+# auto-batch threshold: vmap lockstep lanes win while a single crop
+# underfills the chip's compute/bandwidth; the crossover sits between the
+# measured 64^3 win and the 256^3 loss (BASELINE.md "REV batching"), and
+# scripts/rev_bench.py places it at ~96^3 on a v5e
+AUTO_BATCH_MAX_CELLS = 96 ** 3
+
+
+def _resolve_batch(batch, actual, n_group: int,
+                   solve_kwargs=None) -> bool:
+    """Per-group policy for ``batch="auto"``: vmap only when there is more
+    than one same-shape crop and each crop underfills the chip.  Callers
+    requesting the exact float64 path (``inner_dtype=None``) stay on the
+    sequential driver — that is the golden-value configuration."""
+    if batch == "auto":
+        if solve_kwargs and solve_kwargs.get("inner_dtype", "f32") is None:
+            return False
+        return n_group > 1 and math.prod(actual) <= AUTO_BATCH_MAX_CELLS
+    return bool(batch)
+
+
 def rev_study(
     phase: np.ndarray,
     phase_id: int,
@@ -90,7 +114,7 @@ def rev_study(
     rng=None,
     csv_path: str | None = None,
     verbose: int = 0,
-    batch: bool = False,
+    batch: bool | str = "auto",
     plotfile_dir: str | None = None,
     **solve_kwargs,
 ):
@@ -98,43 +122,62 @@ def rev_study(
     CSV (flushed row by row like the reference, ``Diffusion.cpp:498``, so
     partial studies survive a crash).
 
-    ``batch=True`` groups same-shape crops and solves each group's three
-    cell problems as ONE vmapped device program (solve/batched.py) — the
-    TPU-native form of the sweep (all samples' Krylov iterations run in
-    lockstep lanes).
+    ``batch``: ``True`` groups same-shape crops and solves each group's
+    three cell problems as ONE vmapped device program (solve/batched.py) —
+    the TPU-native form of the sweep (all samples' Krylov iterations run in
+    lockstep lanes).  ``False`` runs the sequential Galerkin-MG driver per
+    crop.  ``"auto"`` (default) decides per same-shape group by crop size
+    (``AUTO_BATCH_MAX_CELLS``); plotfiles force the sequential path (the
+    batched solver does not return the chi fields).
     """
     phase = np.asarray(phase)
     if rng is None:
         rng = np.random.default_rng(12345 + int(num_samples))
     boxes = _draw_samples(phase, sizes, num_samples, rng, verbose)
 
-    results = {}
-    if batch:
-        from ..solve.batched import batched_deff
+    groups: dict[tuple, list] = {}
+    for idx, (s_no, size, lo, actual) in enumerate(boxes):
+        groups.setdefault(actual, []).append(idx)
 
-        groups = {}
-        for idx, (s_no, size, lo, actual) in enumerate(boxes):
-            groups.setdefault(actual, []).append(idx)
-        for actual, idxs in groups.items():
+    results = {}
+    for actual, idxs in groups.items():
+        use_batch = (plotfile_dir is None
+                     and _resolve_batch(batch, actual, len(idxs),
+                                        solve_kwargs))
+        if use_batch:
+            from ..solve.batched import batched_deff
+
             crops = np.stack([
                 phase[boxes[i][2][0]:boxes[i][2][0] + actual[0],
                       boxes[i][2][1]:boxes[i][2][1] + actual[1],
                       boxes[i][2][2]:boxes[i][2][2] + actual[2]]
                 for i in idxs
             ])
+            # the batched solver has its own preconditioner (stateless
+            # Chebyshev — vmaps; the Galerkin hierarchy does not), so only
+            # the kwargs it understands are forwarded
+            bkw = {k: v for k, v in solve_kwargs.items() if k in (
+                "dx", "group_size", "budget_bytes", "inner_dtype",
+                "outer_dtype", "max_refine_rounds", "inner_round_cap",
+                "cheby_degree")}
+            if bkw.get("inner_dtype", "f32") is None:
+                # explicit batch=True + pure-f64 request: the batched solver
+                # always refines, so run its Krylov in f64 directly
+                bkw["inner_dtype"] = np.float64
             deffs, convs = batched_deff(crops, phase_id, eps=eps,
-                                        maxiter=maxiter, **solve_kwargs)
+                                        maxiter=maxiter, **bkw)
             for j, i in enumerate(idxs):
                 d = deffs[j] if convs[j] else np.full((3, 3), math.nan)
                 results[i] = (d, bool(convs[j]))
-    else:
+            continue
         # sequential same-shape crops amortise the compiled-program load
         # across many solves.  Round 2 injected cycle="w" here (1.5x fewer
         # iterations than the then-default Jacobi-coarse V-cycle); with the
         # Chebyshev-coarse default the advantage is gone — measured at the
         # BASELINE REV config (64 x 256^3 x 3, v5e): V 157.6 s vs W 159.2 s,
         # both 64/64 converged — so the plain default (smaller program) stays.
-        for i, (s_no, size, lo, actual) in enumerate(boxes):
+        for i in idxs:
+            s_no, size, lo, _actual = boxes[i]
             crop = phase[lo[0]:lo[0] + actual[0], lo[1]:lo[1] + actual[1],
                          lo[2]:lo[2] + actual[2]]
             res = effective_diffusivity(

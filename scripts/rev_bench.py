@@ -41,9 +41,14 @@ log(f"parent {n_parent}^3, {n_samples} x {crop}^3 crops x 3 directions")
 cycle = os.environ.get("CYCLE", "")  # "" = rev_study's default (plain V —
 # the W advantage was retired by the Chebyshev coarse, props/rev.py)
 extra = {"precond_opts": {"cycle": cycle}} if cycle else {}
+# BATCH: "auto" (default) | "true" (force the vmapped lockstep path) |
+# "false" (force the sequential GMG driver) — the VERDICT r3 item 5 A/B
+batch = os.environ.get("BATCH", "auto")
+if batch != "auto":
+    batch = batch.strip().lower() in ("1", "true", "yes", "on")
 t0 = time.time()
 samples = rev_study(phase, 1, sizes=(crop,), num_samples=n_samples,
-                    eps=1e-9, precond="gmg", verbose=1,
+                    eps=1e-9, precond="gmg", verbose=1, batch=batch,
                     csv_path="/tmp/rev_bench.csv", **extra)
 dt = time.time() - t0
 ok = sum(s.converged for s in samples)

@@ -37,6 +37,17 @@ def test_hypre_maxiter_honored():
     assert c.krylov_maxiter == 5000 and c.maxiter == 300
 
 
+def test_rev_batch_key():
+    """rev.batch (VERDICT r3 item 5): auto default, tri-state accepted,
+    anything else rejected loudly."""
+    assert _cfg("").rev_batch == "auto"
+    assert _cfg("rev.batch = true").rev_batch == "true"
+    assert _cfg("rev.batch = False").rev_batch == "false"
+    assert _cfg("rev.batch = AUTO").rev_batch == "auto"
+    with pytest.raises(ValueError, match="rev.batch"):
+        _cfg("rev.batch = maybe")
+
+
 def test_solver_surface():
     # the full reference name surface (Diffusion.cpp:45-58) is accepted
     for name in ["FlexGMRES", "GMRES", "FGMRES", "PCG", "CG", "Jacobi",

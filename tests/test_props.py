@@ -234,6 +234,29 @@ class TestRevStudy:
                             precond="jacobi", inner_dtype=None)
         assert samples == []  # longside < 8 -> skipped (Diffusion.cpp:361)
 
+    def test_auto_batch_policy(self):
+        """VERDICT r3 item 5: batch="auto" picks the winner by crop size —
+        vmap lanes for underfilling crops, sequential GMG once one crop
+        saturates the chip (BASELINE.md "REV batching" measurements)."""
+        from openimpala_tpu.props.rev import _resolve_batch
+
+        assert _resolve_batch("auto", (64, 64, 64), 3)
+        assert not _resolve_batch("auto", (64, 64, 64), 1)  # lone crop
+        assert not _resolve_batch("auto", (256, 256, 256), 8)  # saturates
+        # exact-f64 callers (golden config) stay sequential
+        assert not _resolve_batch("auto", (64, 64, 64), 3,
+                                  {"inner_dtype": None})
+        assert _resolve_batch(True, (256, 256, 256), 1)
+        assert not _resolve_batch(False, (8, 8, 8), 4)
+
+    def test_auto_equals_batched_for_small_crops(self, blob_phase):
+        auto = rev_study(blob_phase, 1, sizes=(10,), num_samples=3)
+        bat = rev_study(blob_phase, 1, sizes=(10,), num_samples=3,
+                        batch=True)
+        assert len(auto) == len(bat) == 3
+        for a, b in zip(auto, bat):
+            np.testing.assert_array_equal(a.deff, b.deff)  # identical path
+
     def test_batched_matches_sequential(self, blob_phase):
         seq = rev_study(blob_phase, 1, sizes=(10,), num_samples=3,
                         precond="jacobi", inner_dtype=None)
