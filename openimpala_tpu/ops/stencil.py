@@ -301,6 +301,17 @@ class StencilSystem:
                                         self.free, self.w, self.periodic)
         return apply_code(x, self.code, self.w, self.periodic)
 
+    def apply_xla(self, x):
+        """apply() pinned to the XLA expression.  Needed under ``jax.vmap``
+        (solve/batched.py): the fused Pallas kernel keeps x in memory space
+        ANY, which Mosaic cannot re-block with vmap's added batch dim; the
+        per-sample shape still passes ``supports_v3``, so the dispatch in
+        ``apply_code`` cannot detect the batching itself."""
+        if self.diag_full is not None:
+            return self.apply(x)
+        diag, free = decode_code(self.code, self.w, x.dtype)
+        return apply_restricted_xla(x, diag, free, self.w, self.periodic)
+
     def apply_with_dot(self, x):
         """(A x, <x, A x>) — the CG matvec with its curvature reduction
         fused into the same kernel pass on TPU."""

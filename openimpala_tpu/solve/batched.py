@@ -56,7 +56,11 @@ def _batched_cg_chunk(systems, precond, state, eps, chunk: int):
 
         def body(_, st):
             z, r, p, rz, it, rel, done = st
-            ap = s.apply(p)
+            # apply_xla: the Pallas matvec cannot be vmapped (memory space
+            # ANY blocks don't re-block over the batch dim); in the regime
+            # where batching pays (crops <= ~96^3) the kernel's layout
+            # contract (Z % 128) doesn't hold anyway
+            ap = s.apply_xla(p)
             pap = jnp.sum(p * ap)
             ok = pap > 0
             alpha = jnp.where(ok, rz / jnp.where(ok, pap, 1.0), 0.0)
