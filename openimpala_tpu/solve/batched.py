@@ -157,17 +157,24 @@ def batched_cell_problems(masks, direction_k: int, eps: float, maxiter: int,
     return chi, rel, rel <= eps
 
 
+# peak f32-field equivalents live per crop through one refinement round:
+# system (code bf16 + r0_b + x_forced) ~2.5, f64 accumulator 2, f64 outer
+# residual + its apply transients ~6, r_lo 1, Chebyshev diag+free ~1.25,
+# CG state (z, r, p) + matvec/precond temps ~5 -> ~16.  The original
+# 10-field model OOM'd a 16 GiB v5e at 16 x 256^3 (measured r4).
+FIELDS_PER_CROP = 16
+
+
 def _auto_group_size(crop_shape, requested=None, budget_bytes=None):
-    """Crops per device group: the refinement pipeline holds ~10 f32-field
-    equivalents per crop (r0_b, f64 accumulator + outer residual, CG state,
-    chi); size groups to ~10 GiB so 64 x 256^3 streams through one chip.
+    """Crops per device group: size groups to ~10 GiB at FIELDS_PER_CROP
+    f32-field equivalents per crop so 64 x 256^3 streams through one chip.
     ``budget_bytes`` overrides the HBM budget (tests exercise the grouping
     at CI-sized crops with a shrunken budget)."""
     if requested is not None:
         return max(1, int(requested))
     crop_bytes = int(np.prod(crop_shape)) * 4
     budget = 10 * 1024 ** 3 if budget_bytes is None else int(budget_bytes)
-    return max(1, budget // (10 * crop_bytes))
+    return max(1, budget // (FIELDS_PER_CROP * crop_bytes))
 
 
 def batched_deff(crops, phase_id: int, eps: float = 1e-9, maxiter: int = 20000,

@@ -307,7 +307,9 @@ class TestRevStudy:
         crops = np.stack([phase, np.roll(phase, 17, axis=0),
                           np.roll(phase, 31, axis=2)])
 
-        budget = 10 * 2 * n ** 3 * 4  # exactly two crops per group
+        from openimpala_tpu.solve.batched import FIELDS_PER_CROP
+
+        budget = FIELDS_PER_CROP * 2 * n ** 3 * 4  # exactly two crops/group
         assert _auto_group_size((n, n, n), budget_bytes=budget) == 2
 
         deffs, convs = batched_deff(crops, 1, eps=1e-9, budget_bytes=budget)
