@@ -441,6 +441,31 @@ class TestShardedPackedFill:
         bad = shard_volume(jnp.asarray(rng.random((128, 16, 16)) < 0.5), mesh)
         assert percolation_oneshot_packed_sharded(bad, 0) is None
 
+    @pytest.mark.skipif(os.environ.get("OPENIMPALA_HEAVY_TESTS") != "1",
+                        reason="heavy: 192^3 packed sharded fill parity")
+    def test_packed_sharded_fill_192cubed_heavy(self, rng):
+        """VERDICT r3 item 2 done-criterion: 192^3 blob volume, packed
+        shard_map fill vs the host connected-components oracle, exact.
+        6 devices: the packed layout needs X % (32 * n_dev) == 0 and
+        192 = 32 * 6 (an 8-device mesh would need X >= 256)."""
+        from openimpala_tpu.ops.floodfill import flood_fill_host
+        from openimpala_tpu.ops.packfill import (
+            percolation_oneshot_packed_sharded)
+
+        n = 192
+        coarse = rng.standard_normal((n // 8,) * 3)
+        phase_ok = np.kron(coarse, np.ones((8, 8, 8))) < np.quantile(
+            coarse, 0.55)
+        phase_ok[:, n // 2, n // 2] = True
+        mesh = make_mesh(n_devices=6)
+        sharded = shard_volume(jnp.asarray(phase_ok), mesh)
+        active, counts = percolation_oneshot_packed_sharded(sharded, 0)
+        ri, ro = flood_fill_host(phase_ok, 0)
+        want = ri & ro
+        np.testing.assert_array_equal(np.asarray(active), want)
+        assert int(np.asarray(counts).sum()) == int(want.sum())
+        assert len(active.sharding.device_set) == 6
+
     def test_percolation_mask_sharded_input_uses_packed_fill(self, rng):
         """percolation_mask on a pre-sharded volume routes to the packed
         shard_map fill (not the O(sum dims) dilation) and matches host."""
