@@ -169,7 +169,12 @@ def packed_fill(o, r, max_rounds: int | None = None,
     """Iterate fill rounds to the fixed point (reach stops changing).
     ``changed_fn`` reduces the per-element change mask to the loop predicate
     (the sharded driver makes it a global psum so every shard iterates in
-    lockstep)."""
+    lockstep).
+
+    The first round runs INSIDE the while_loop (initial predicate forced
+    true): inlining it separately doubled the serialized executable —
+    program-load time over the tunnelled runtime scales with executable
+    size, and the fill program sits on the one-shot critical path."""
     if max_rounds is None:
         max_rounds = int(o.shape[0] * 32 + o.shape[1] + o.shape[2]) + 2
 
@@ -182,10 +187,49 @@ def packed_fill(o, r, max_rounds: int | None = None,
         new = fill_round(o, cur, carry_in_fn)
         return new, changed_fn(new != cur), it + 1
 
-    r1 = fill_round(o, r, carry_in_fn)
-    state = (r1, changed_fn(r1 != r), jnp.asarray(1, jnp.int32))
+    state = (r, jnp.asarray(True), jnp.asarray(0, jnp.int32))
     r, _, iters = jax.lax.while_loop(cond, body, state)
     return r, iters
+
+
+def _double_fill(o, seeds_lo, outlet_seeds_fn, max_rounds: int,
+                 carry_in_fn=_default_carry_in, changed_fn=jnp.any):
+    """Inlet fill -> (at its fixed point) re-seed from the outlet face ->
+    outlet fill restricted to the inlet-reachable set, all as ONE
+    while_loop whose body contains ``fill_round`` exactly once.
+
+    Running the two fills as separate loops put four copies of the round
+    body in the HLO (each loop also inlined its first round); at 512^3 the
+    serialized executable was 4.3 MB and its load over the tunnelled
+    runtime (~1 MB/s effective) dominated the percolation wall.  The staged
+    loop keeps one copy: when stage 0 stops changing, the open set becomes
+    the inlet-reachable mask and the reach state re-seeds from the outlet
+    plane (the restriction trick of ``floodfill._percolation_device_oneshot``).
+    The per-round cost of the transition plumbing is two word-volume
+    selects + the seed expression — noise next to a round's ~40 sweeps.
+
+    ``outlet_seeds_fn(reach_in)`` must return the packed outlet-plane seeds
+    restricted to ``reach_in``.  Returns ``(active, rounds_total)``.
+    """
+
+    def cond(state):
+        _, _, stage, changed, it = state
+        return (changed | (stage == 0)) & (it < 2 * max_rounds + 2)
+
+    def body(state):
+        o_cur, r, stage, _, it = state
+        new = fill_round(o_cur, r, carry_in_fn)
+        ch = changed_fn(new != r)
+        done0 = (stage == 0) & (~ch)
+        o_next = jnp.where(done0, new, o_cur)
+        r_next = jnp.where(done0, outlet_seeds_fn(new), new)
+        return (o_next, r_next, stage + done0.astype(stage.dtype),
+                ch | done0, it + 1)
+
+    state = (o, seeds_lo, jnp.asarray(0, jnp.int32), jnp.asarray(True),
+             jnp.asarray(0, jnp.int32))
+    _, active, _, _, iters = jax.lax.while_loop(cond, body, state)
+    return active, iters
 
 
 def _face_seeds_packed(o, face: int, direction: int, word_offset=0):
@@ -213,10 +257,12 @@ def percolation_oneshot_packed(phase_ok, direction: int):
     X = phase_ok.shape[0]
     o = pack_x(phase_ok)
     seeds_lo = _face_seeds_packed(o, 0, direction)
-    reach_in, _ = packed_fill(o, seeds_lo)
     outlet = X - 1 if direction == 0 else phase_ok.shape[direction] - 1
-    seeds_hi = _face_seeds_packed(reach_in, outlet, direction)
-    active, _ = packed_fill(reach_in, seeds_hi)
+    max_rounds = int(o.shape[0] * 32 + o.shape[1] + o.shape[2]) + 2
+    active, _ = _double_fill(
+        o, seeds_lo,
+        lambda reach_in: _face_seeds_packed(reach_in, outlet, direction),
+        max_rounds)
     counts = jnp.sum(jax.lax.population_count(active).astype(jnp.int32),
                      axis=(1, 2), dtype=jnp.int32)
     return unpack_x(active, X), counts
@@ -331,14 +377,11 @@ def percolation_oneshot_packed_sharded(phase_ok, direction: int,
         o = pack_x(local_ok)
         offset = jax.lax.axis_index(axis) * xwl
         seeds_lo = _face_seeds_packed(o, 0, direction, word_offset=offset)
-        reach_in, _ = packed_fill(o, seeds_lo, max_rounds,
-                                  carry_in_fn=carry_in_fn,
-                                  changed_fn=changed_fn)
-        seeds_hi = _face_seeds_packed(reach_in, out_face, direction,
-                                      word_offset=offset)
-        active, _ = packed_fill(reach_in, seeds_hi, max_rounds,
-                                carry_in_fn=carry_in_fn,
-                                changed_fn=changed_fn)
+        active, _ = _double_fill(
+            o, seeds_lo,
+            lambda reach_in: _face_seeds_packed(reach_in, out_face, direction,
+                                                word_offset=offset),
+            max_rounds, carry_in_fn=carry_in_fn, changed_fn=changed_fn)
         counts = jnp.sum(jax.lax.population_count(active).astype(jnp.int32),
                          axis=(1, 2), dtype=jnp.int32)
         return unpack_x(active, X // n_dev), counts
