@@ -123,6 +123,52 @@ def effective_diffusivity(
         )
 
     storage = dtype if inner_dtype is None else inner_dtype
+
+    # lockstep lanes: the operator is k-independent, so the three chi
+    # solves can advance as lanes of ONE program — every chunk dispatch,
+    # outer-residual measurement and host round-trip is paid once instead
+    # of three times (solve/lanes.py).  Gated to single-device volumes that
+    # fit the 3x lane state in HBM; everything else keeps the sequential
+    # loop below.
+    from ..solve.lanes import use_lanes
+
+    single_dev = (not pre_sharded
+                  and len(getattr(active.sharding, "device_set", (1,))) <= 1)
+    if (method in ("cg", "pcg") and single_dev
+            and inner_dtype is not None
+            and use_lanes(n_total, 3, method,
+                          inner_bytes=jnp.dtype(inner_dtype).itemsize,
+                          outer_bytes=jnp.dtype(dtype).itemsize)):
+        from ..solve.lanes import LaneSystem, solve_system_lanes
+
+        systems = [_build_cell_system(active, k, tuple(dx),
+                                      jnp.dtype(storage).name)[0]
+                   for k in range(3)]
+        lsys = LaneSystem.from_systems(systems)
+        x_full, info = solve_system_lanes(
+            lsys, eps=eps, maxiter=maxiter, precond=precond,
+            inner_dtype=inner_dtype, outer_dtype=dtype,
+            precond_opts=precond_opts, verbose=verbose)
+        iters = tuple(int(v) for v in np.asarray(info.iterations))
+        rels = tuple(float(v) for v in np.asarray(info.rel_res))
+        convs = tuple(bool(v) for v in np.asarray(info.converged))
+        chis = [x_full[k] for k in range(3)]
+        if verbose > 0:
+            for k in range(3):
+                print(f"  chi_{'xyz'[k]}: iters={iters[k]} "
+                      f"rel_res={rels[k]:.3e} converged={convs[k]}")
+        converged = all(convs)
+        if converged:
+            deff = np.asarray(deff_tensor(chis[0], chis[1], chis[2], active,
+                                          dx, n_total=n_total))
+        else:
+            deff = np.full((3, 3), math.nan)
+        return EffectiveDiffusivityResult(
+            deff=deff, converged=converged, iterations=iters,
+            rel_res=rels, volume_fraction=vf,
+            chi=tuple(chis) if return_fields else None,
+        )
+
     chis, iters, rels, convs = [], [], [], []
     M = None
     for k in range(3):

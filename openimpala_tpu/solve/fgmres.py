@@ -222,6 +222,27 @@ def _fgmres_host_loop(system, r0, denom, eps, maxiter: int, precond,
     )
 
 
+def device_hbm_limit() -> int:
+    """Best-known per-device HBM capacity in bytes (0 if unknown): the
+    backend's ``memory_stats`` when exposed, else a device-kind table for
+    tunnelled runtimes (axon hides memory_stats)."""
+    try:
+        dev = jax.local_devices()[0]
+        stats = dev.memory_stats()
+        limit = stats.get("bytes_limit", 0) if stats else 0
+        if limit <= 0 and dev.platform == "tpu":
+            kind = dev.device_kind.lower()
+            for tag, gib in (("v5 lite", 16), ("v5e", 16), ("v5p", 95),
+                             ("v5", 95), ("v6e", 32), ("v6", 32),
+                             ("v4", 32), ("v3", 32), ("v2", 16)):
+                if tag in kind:
+                    limit = gib * 1024 ** 3
+                    break
+        return int(limit)
+    except Exception:
+        return 0
+
+
 def _device_hbm_budget(field_bytes: float) -> float:
     """Per-device byte budget for the Krylov basis: 90 % of the device's
     HBM limit minus an estimate of what is LIVE next to the basis during
@@ -232,23 +253,7 @@ def _device_hbm_budget(field_bytes: float) -> float:
     backend exposes no memory stats (CPU) — a 10 GB basis budget OOMed
     512^3 on the 16 GB v5e, so the live estimate must stay conservative."""
     fallback = 6 * 1024 ** 3
-    limit = 0
-    try:
-        dev = jax.local_devices()[0]
-        stats = dev.memory_stats()
-        limit = stats.get("bytes_limit", 0) if stats else 0
-        if limit <= 0 and dev.platform == "tpu":
-            # tunnelled runtimes (axon) hide memory_stats; fall back to the
-            # chip generation's known HBM capacity
-            kind = dev.device_kind.lower()
-            for tag, gib in (("v5 lite", 16), ("v5e", 16), ("v5p", 95),
-                             ("v5", 95), ("v6e", 32), ("v6", 32),
-                             ("v4", 32), ("v3", 32), ("v2", 16)):
-                if tag in kind:
-                    limit = gib * 1024 ** 3
-                    break
-    except Exception:
-        limit = 0
+    limit = device_hbm_limit()
     if limit <= 0:
         return fallback
     live = 13 * field_bytes

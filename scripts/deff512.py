@@ -39,3 +39,8 @@ for pc in configs:
     log(f"{pc}: Dxx={D[0,0]:.6f} Dyy={D[1,1]:.6f} Dzz={D[2,2]:.6f} "
         f"iters={r.iterations} conv={r.converged} "
         f"wall={time.time()-t0:.1f}s")
+    if os.environ.get("OPENIMPALA_PROFILE") == "1":
+        from openimpala_tpu.utils.profiling import report, reset
+
+        log(report())
+        reset()

@@ -384,3 +384,68 @@ def test_auto_restart_memory_budget():
         dtype = np.dtype(np.float32)
         sharding = None
     assert _auto_restart(_Fake(), 20) == 4
+
+
+class TestLanes:
+    """solve/lanes.py — lockstep multi-RHS PCG for the cell problems."""
+
+    def test_lanes_match_sequential_deff(self, blob_phase, monkeypatch):
+        """The lockstep path must reproduce the sequential path's D_eff
+        (same operator, same refinement semantics, per-lane recurrences)."""
+        from openimpala_tpu.props import effective_diffusivity as ed_mod
+        from openimpala_tpu.props.effective_diffusivity import (
+            effective_diffusivity,
+        )
+        from openimpala_tpu.solve import lanes as lanes_mod
+
+        calls = []
+        orig = lanes_mod.solve_system_lanes
+
+        def spy(*a, **k):
+            calls.append(1)
+            return orig(*a, **k)
+
+        monkeypatch.setattr(lanes_mod, "solve_system_lanes", spy)
+        a = effective_diffusivity(blob_phase, 1, precond="gmg",
+                                  inner_dtype=jnp.float32)
+        assert calls, "lanes path not engaged on a small single-device volume"
+        monkeypatch.setattr(ed_mod, "use_lanes",
+                            lambda *a, **k: False, raising=False)
+        # use_lanes is imported inside the function from solve.lanes
+        monkeypatch.setattr(lanes_mod, "use_lanes", lambda *a, **k: False)
+        b = effective_diffusivity(blob_phase, 1, precond="gmg",
+                                  inner_dtype=jnp.float32)
+        assert a.converged and b.converged
+        np.testing.assert_allclose(a.deff, b.deff, atol=1e-9)
+        # per-lane bookkeeping has the sequential shape
+        assert len(a.iterations) == 3 and len(a.rel_res) == 3
+
+    def test_cg_lanes_matches_mono_cg(self, rng):
+        """Each lane of cg_lanes reproduces the mono cg iterate sequence
+        (lane-wise recurrences never couple)."""
+        from openimpala_tpu.ops.stencil import make_cell_problem_system
+        from openimpala_tpu.solve.cg import cg
+        from openimpala_tpu.solve.lanes import LaneSystem, cg_lanes
+        from openimpala_tpu.solve.refine import make_precond
+
+        active = jnp.asarray(rng.random((12, 10, 8)) < 0.7)
+        systems = [make_cell_problem_system(active, k, (1.0, 1.0, 1.0),
+                                            dtype=np.float64)
+                   for k in range(3)]
+        lsys = LaneSystem.from_systems(systems)
+        M = make_precond(systems[0], "jacobi")
+        r0 = lsys.initial_residual(jnp.zeros(lsys.r0_b.shape, jnp.float64))
+        res = cg_lanes(lsys, r0, lsys.b_norm, 1e-10, 500, M)
+        assert bool(np.asarray(res.converged).all())
+        for k in range(3):
+            mono = cg(systems[k], systems[k].r0_b, systems[k].b_norm,
+                      1e-10, 500, precond=M)
+            np.testing.assert_allclose(
+                np.asarray(res.z[k]), np.asarray(mono.z), atol=1e-9)
+
+    def test_use_lanes_gate(self):
+        from openimpala_tpu.solve.lanes import use_lanes
+
+        assert use_lanes(64 ** 3, 3)            # small volume: on
+        assert not use_lanes(2048 ** 3, 3)      # absurd volume: off
+        assert not use_lanes(64 ** 3, 3, method="gmres")
