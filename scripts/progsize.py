@@ -58,42 +58,27 @@ log(f"compile: {time.time()-t0:.1f}s")
 
 from jax.experimental import serialize_executable as se
 
-try:
-    payload, _, _ = se.serialize(compiled)
-    log(f"serialized executable: {len(payload)/2**20:.2f} MiB")
-except Exception as e:
-    log("serialize failed:", e)
+payload, in_tree, out_tree = se.serialize(compiled)
+log(f"serialized executable: {len(payload)/2**20:.2f} MiB")
 
-mods = compiled.hlo_modules()
-for m in mods:
-    proto = m.as_serialized_hlo_module_proto()
-    log(f"optimized HLO proto: {len(proto)/2**20:.2f} MiB")
-    # custom-call backend configs (Mosaic kernels etc.)
-    try:
-        from jax._src.lib import xla_client  # noqa
+# Scan the serialized payload for embedded Mosaic MLIR bytecode blobs
+# (magic "ML\xefR") — a crude but API-stable breakdown of what fraction
+# of the load-time bytes are kernel payloads vs compiled TPU code.
+import re
 
-        hlo_txt = None  # text dump too big; parse proto instead
-    except Exception:
-        pass
-    try:
-        from xla.service import hlo_pb2  # unlikely available
-    except Exception:
-        hlo_pb2 = None
-    if hlo_pb2 is None:
-        # crude scan: find large embedded blobs in the proto by looking at
-        # length-delimited fields — approximate via a histogram of the
-        # biggest byte runs
-        import re
+blobs = [mm.start() for mm in re.finditer(b"ML\xefR", payload)]
+log(f"Mosaic MLIR bytecode blobs in payload: {len(blobs)}")
+sizes = []
+for i, s in enumerate(blobs):
+    e = blobs[i + 1] if i + 1 < len(blobs) else len(payload)
+    sizes.append(e - s)
+log("approx blob extents (KiB):",
+    [round(sz / 1024) for sz in sorted(sizes, reverse=True)[:20]])
+log(f"total approx Mosaic bytes: {sum(sizes)/2**20:.2f} MiB "
+    f"(upper bound — extents run to the next blob)")
 
-        # Mosaic payloads are serialized MLIR bytecode: magic "ML\xefR"
-        blobs = [mm.start() for mm in re.finditer(b"ML\xefR", proto)]
-        log(f"Mosaic MLIR bytecode blobs: {len(blobs)}")
-        sizes = []
-        for i, s in enumerate(blobs):
-            e = blobs[i + 1] if i + 1 < len(blobs) else len(proto)
-            sizes.append(e - s)
-        log("approx blob extents (KiB):",
-            [round(sz / 1024) for sz in sorted(sizes, reverse=True)[:20]])
-        log(f"total approx Mosaic bytes: {sum(sizes)/2**20:.2f} MiB "
-            f"(upper bound — extents run to the next blob)")
+# deserialize_and_load time = the actual per-process load cost we pay
+t0 = time.time()
+reloaded = se.deserialize_and_load(payload, in_tree, out_tree)
+log(f"deserialize_and_load: {time.time()-t0:.1f}s")
 log("DONE")
