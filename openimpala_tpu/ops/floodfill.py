@@ -177,6 +177,16 @@ def flood_fill_host(phase_ok: np.ndarray, direction: int):
     return reach_in, reach_out
 
 
+def auto_uses_device_fill(shape) -> bool:
+    """Does ``percolation_mask(method="auto")`` run the fill ON DEVICE for a
+    host-resident volume of this shape?  The single source of truth for the
+    policy — also consulted by ``props/tortuosity.py`` to decide whether the
+    solver warm-up thread may start during percolation (the device fill
+    leaves the host core free; the host BFS does not)."""
+    return (jax.default_backend() == "tpu" and jax.device_count() == 1
+            and int(np.prod(shape)) >= 192 ** 3 and shape[-1] % 8 == 0)
+
+
 def percolation_mask(phase, phase_id: int, direction: int, method: str = "auto"):
     """Active mask = cells of ``phase_id`` reachable from BOTH the inlet and
     outlet faces of ``direction`` (``TortuosityHypre.cpp:394-558``).
@@ -192,10 +202,7 @@ def percolation_mask(phase, phase_id: int, direction: int, method: str = "auto")
         if isinstance(phase, np.ndarray):
             from ..io import native
 
-            on_single_tpu = (jax.default_backend() == "tpu"
-                             and jax.device_count() == 1)
-            if (on_single_tpu and total >= 192 ** 3
-                    and phase.shape[-1] % 8 == 0):
+            if auto_uses_device_fill(phase.shape):
                 # raster fill on device beats the host BFS at one-shot scale
                 # (measured 512^3: 4.7 s vs 5.5-13.6 s end to end incl.
                 # transfers, scripts/perc512.py) and ships the mask

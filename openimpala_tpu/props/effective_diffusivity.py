@@ -67,6 +67,7 @@ def effective_diffusivity(
     return_fields: bool = False,
     verbose: int = 0,
     mesh="auto",
+    lanes: bool | str = "auto",
 ) -> EffectiveDiffusivityResult:
     """``mesh``: None | Mesh | "auto" — domain decomposition along X (see
     ``props.tortuosity``).  The periodic cell problem cannot be padded (a
@@ -134,13 +135,16 @@ def effective_diffusivity(
 
     single_dev = (not pre_sharded
                   and len(getattr(active.sharding, "device_set", (1,))) <= 1)
+    want_lanes = (lanes is True) or (lanes == "auto" and use_lanes(
+        n_total, 3, method,
+        inner_bytes=jnp.dtype(inner_dtype or dtype).itemsize,
+        outer_bytes=jnp.dtype(dtype).itemsize))
     if (method in ("cg", "pcg") and single_dev
-            and inner_dtype is not None
-            and use_lanes(n_total, 3, method,
-                          inner_bytes=jnp.dtype(inner_dtype).itemsize,
-                          outer_bytes=jnp.dtype(dtype).itemsize)):
+            and inner_dtype is not None and want_lanes):
         from ..solve.lanes import LaneSystem, solve_system_lanes
 
+        if verbose > 0:
+            print("  lockstep lanes: 3 cell problems as one program")
         systems = [_build_cell_system(active, k, tuple(dx),
                                       jnp.dtype(storage).name)[0]
                    for k in range(3)]

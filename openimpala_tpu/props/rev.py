@@ -90,13 +90,22 @@ AUTO_BATCH_MAX_CELLS = 96 ** 3
 
 
 def _resolve_batch(batch, actual, n_group: int,
-                   solve_kwargs=None) -> bool:
+                   solve_kwargs=None, method: str = "cg",
+                   precond: str = "auto") -> bool:
     """Per-group policy for ``batch="auto"``: vmap only when there is more
     than one same-shape crop and each crop underfills the chip.  Callers
-    requesting the exact float64 path (``inner_dtype=None``) stay on the
-    sequential driver — that is the golden-value configuration."""
+    requesting the exact float64 path (``inner_dtype=None``), a non-CG
+    Krylov method, or an explicit preconditioner stay on the sequential
+    driver — the batched solver hard-codes CG + stateless Chebyshev, so
+    "auto" must not silently override validated user configuration."""
+    if isinstance(batch, str) and batch != "auto":
+        # library callers may pass the config string through unconverted;
+        # bool("false") is True, so parse the same tokens config.py accepts
+        batch = batch.strip().lower() in ("true", "1", "yes", "on")
     if batch == "auto":
         if solve_kwargs and solve_kwargs.get("inner_dtype", "f32") is None:
+            return False
+        if str(method).lower() not in ("cg", "pcg") or precond != "auto":
             return False
         return n_group > 1 and math.prod(actual) <= AUTO_BATCH_MAX_CELLS
     return bool(batch)
@@ -143,7 +152,8 @@ def rev_study(
     for actual, idxs in groups.items():
         use_batch = (plotfile_dir is None
                      and _resolve_batch(batch, actual, len(idxs),
-                                        solve_kwargs))
+                                        solve_kwargs, method=method,
+                                        precond=precond))
         if use_batch:
             from ..solve.batched import batched_deff
 

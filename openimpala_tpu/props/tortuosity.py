@@ -186,14 +186,16 @@ def tortuosity(
                 hi_plane = shape[0] - 1  # outlet stays at the original face
         solve_shape = (shape[0] + pad,) + tuple(shape[1:])
         storage = dtype if inner_dtype is None else inner_dtype
-        # mirror percolation_mask's "auto" resolution: on a single TPU at
-        # one-shot scale the fill runs ON DEVICE, so the host core is free
-        # (wire waits) and the warm-up pays even on 1-core hosts
-        on_single_tpu = (jax.default_backend() == "tpu"
-                         and jax.device_count() == 1 and mesh is None)
+        # percolation_mask's "auto" resolution (single source of truth in
+        # ops/floodfill.py): on a single TPU at one-shot scale the fill runs
+        # ON DEVICE, so the host core is free (wire waits) and the warm-up
+        # pays even on 1-core hosts
+        from ..ops.floodfill import auto_uses_device_fill
+
         device_perc = percolation_method == "device" or (
-            percolation_method == "auto" and on_single_tpu
-            and int(np.prod(shape)) >= 192 ** 3 and shape[-1] % 8 == 0)
+            percolation_method == "auto" and mesh is None
+            and (not isinstance(phase, np.ndarray)  # device arrays: device fill
+                 or auto_uses_device_fill(shape)))
         warm = warmup.maybe_start(
             solve_shape, direction, vlo, vhi, dx, jnp.dtype(storage).name,
             hi_plane, mesh, precond, precond_opts, method, inner_dtype,

@@ -25,9 +25,14 @@ Here the three solves advance in LOCKSTEP as lanes of one program:
 * iterative refinement (solve/refine.py semantics) runs all lanes through
   one f64 outer-residual program per round.
 
-Memory gate: lane state is L x the mono solve (``use_lanes``); at 512^3
-f32 the three-lane solve peaks ~11-12 GB on a 16 GiB v5e — inside budget,
-but anything bigger (or an unknown backend) falls back to sequential.
+Memory gate: lane state is L x the mono solve (``use_lanes``, ~118 B/cell
+for 3 f32 lanes + f64 accumulators).  A FORCED 512^3 three-lane run OOMs
+the 16 GiB v5e (measured RESOURCE_EXHAUSTED in the first inner round,
+``bench_logs/r4/deff512_lanes_forced_oom.log``), so the gate correctly
+rejects it — on a v5e lanes engage up to ~2^26.5 cells (≲ 407^3); the
+realized win is the REV sweep's 256^3 crops (BASELINE.md round 4:
+147.0 -> 103.1 s).  Bigger volumes or unknown backends fall back to the
+sequential loop.
 """
 
 from __future__ import annotations
@@ -204,6 +209,16 @@ def cg_lanes(lsys: LaneSystem, r0, denom, eps, maxiter: int, precond,
     return SolveResult(z=z, iterations=it, rel_res=rel, converged=rel <= eps)
 
 
+def _lanes_stalled(rel, prev_rel, eps) -> bool:
+    """Refinement stall: only UNCONVERGED lanes count as progress — a lane
+    that already sits at rel <= eps must not keep the loop alive while the
+    rest plateau at the f32 noise floor (mono analogue: refine.py's
+    ``rel >= prev_rel * 0.5`` break).  Never stalls on the first round
+    (prev_rel = inf)."""
+    improved = (rel < prev_rel * 0.5) & ~(rel <= eps)
+    return bool(np.isfinite(prev_rel).all() and not improved.any())
+
+
 def solve_system_lanes(
     lsys: LaneSystem,
     eps: float,
@@ -220,7 +235,10 @@ def solve_system_lanes(
     """Solve all lanes to ``||b_i - A x_i|| / ||b_i|| <= eps`` with the
     mixed-precision refinement of ``solve/refine.py::solve_system`` run in
     lockstep (one outer-residual program and one inner Krylov per round for
-    ALL lanes).  x0 = 0 for every lane (the cell problems' initial iterate,
+    ALL lanes).  MIRROR: the refinement policy (round-0 low-precision
+    residual + f32-floor guard, adaptive round_eps, budget, stall break,
+    stale re-measure) is a lane-wise copy of solve_system — keep the two in
+    sync; the lanes-vs-sequential D_eff parity test pins the equivalence.  x0 = 0 for every lane (the cell problems' initial iterate,
     ``EffDiffFillMtx.F90:126``).  Returns ``(x_full (L, ...), info)`` with
     per-lane (L,)-vector iterations/rel_res/converged."""
     from .refine import make_precond
@@ -274,9 +292,8 @@ def solve_system_lanes(
             print(f"  refine round (lanes): outer rel_res=[{rels}]")
         if bool((rel <= eps).all()):
             break
-        improved = (rel < prev_rel * 0.5) | (rel <= eps)
-        if np.isfinite(prev_rel).all() and not bool(improved.any()):
-            break  # no lane can improve further in the inner dtype
+        if _lanes_stalled(rel, prev_rel, eps):
+            break  # no unconverged lane halved its residual this round
         if budget <= 0:
             break
         prev_rel = rel

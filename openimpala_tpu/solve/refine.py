@@ -113,6 +113,12 @@ def solve_system(
     ``precond``: "none" | "jacobi" | "mg" | a callable r -> z.
     ``inner_dtype=None`` disables refinement: the Krylov method runs directly
     in the system's storage dtype.
+
+    MIRROR: ``solve/lanes.py::solve_system_lanes`` runs this exact
+    refinement policy lane-wise (low-precision round-0 residual + f32-floor
+    guard, adaptive round_eps, iteration budget, stall break, stale final
+    re-measure).  Any policy change here must be mirrored there; the
+    lanes-vs-sequential D_eff parity test pins the equivalence.
     """
     storage_dtype = system.r0_b.dtype
 

@@ -1,7 +1,9 @@
 """512^3 D_eff tensor on TPU: SA vs Galerkin-PC preconditioning.
 
 The homogenization path solves THREE periodic cell problems on one
-geometry, so a better coarse space amortises its build 3x.  Env: N, ONLY.
+geometry, so a better coarse space amortises its build 3x.
+Env: N, ONLY, LANES (1 forces the lockstep multi-RHS path, 0 forces the
+sequential loop, unset = the use_lanes auto gate).
 """
 import os
 import sys
@@ -31,10 +33,13 @@ configs = ["gmg", "sa"]
 sel = os.environ.get("ONLY")
 if sel:
     configs = sel.split(",")
+lanes_env = os.environ.get("LANES")
+lanes = "auto" if lanes_env is None else lanes_env == "1"
 for pc in configs:
     t0 = time.time()
     r = effective_diffusivity(phase, 1, eps=1e-9, precond=pc,
-                              inner_dtype=jnp.float32)
+                              inner_dtype=jnp.float32, lanes=lanes,
+                              verbose=1)
     D = np.asarray(r.deff)
     log(f"{pc}: Dxx={D[0,0]:.6f} Dyy={D[1,1]:.6f} Dzz={D[2,2]:.6f} "
         f"iters={r.iterations} conv={r.converged} "

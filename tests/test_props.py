@@ -248,6 +248,16 @@ class TestRevStudy:
                                   {"inner_dtype": None})
         assert _resolve_batch(True, (256, 256, 256), 1)
         assert not _resolve_batch(False, (8, 8, 8), 4)
+        # the batched solver hard-codes CG + stateless Chebyshev: "auto"
+        # must not silently override a validated solver/preconditioner
+        # request (code-review r4)
+        assert not _resolve_batch("auto", (64, 64, 64), 3, method="gmres")
+        assert not _resolve_batch("auto", (64, 64, 64), 3, precond="jacobi")
+        assert _resolve_batch("auto", (64, 64, 64), 3, method="CG")
+        # config-string tokens parse as booleans (bool("false") is True!)
+        assert not _resolve_batch("false", (64, 64, 64), 3)
+        assert not _resolve_batch("0", (64, 64, 64), 3)
+        assert _resolve_batch("true", (256, 256, 256), 1)
 
     def test_auto_equals_batched_for_small_crops(self, blob_phase):
         auto = rev_study(blob_phase, 1, sizes=(10,), num_samples=3)

@@ -363,27 +363,48 @@ def test_fgmres_cycle_early_exit_iterations(problem):
     np.testing.assert_allclose(x, x_direct, atol=1e-8)
 
 
-def test_auto_restart_memory_budget():
+def test_auto_restart_memory_budget(monkeypatch):
     """_auto_restart derives its HBM budget from device memory_stats when
     available and falls back to the measured-safe 6 GiB otherwise; the cap
-    scales with per-device field bytes."""
-    from openimpala_tpu.solve.fgmres import _auto_restart, _device_hbm_budget
+    scales with per-device field bytes AND with the device's HBM."""
+    import importlib
+
+    fg = importlib.import_module("openimpala_tpu.solve.fgmres")
 
     # CPU backends expose no bytes_limit -> 6 GiB fallback
-    assert _device_hbm_budget(512**3 * 4) >= 6 * 1024**3
-    # 512^3 f32 single-device under the fallback: (6 GiB/512 MiB - 1)//2 = 5
-    r = jnp.zeros((512, 64, 64), jnp.float32)  # stand-in: use explicit bytes
-    m = int((6 * 1024**3 / (512**3 * 4) - 1) // 2)
-    assert m == 5  # the documented v5e depth at 512^3
+    monkeypatch.setattr(fg, "device_hbm_limit", lambda: 0)
+    assert fg._device_hbm_budget(512**3 * 4) == 6 * 1024**3
+
+    # a 16 GiB v5e: 0.9*16 GiB - 13 fields of 512 MiB = ~7.9 GiB budget
+    # -> restart depth (budget/field - 1) // 2 = 6
+    monkeypatch.setattr(fg, "device_hbm_limit", lambda: 16 * 1024**3)
+    field = 512**3 * 4
+    budget = fg._device_hbm_budget(field)
+    assert budget == max(6 * 1024**3, 0.9 * 16 * 1024**3 - 13 * field)
+
+    class _FakeField:
+        size = 512**3
+        dtype = np.dtype(np.float32)
+        sharding = None
+
+    m_v5e = fg._auto_restart(_FakeField(), 30)
+    assert m_v5e == int((budget / field - 1) // 2)
+
+    # a 95 GiB v5p must deepen the basis, not inherit the v5e cap
+    monkeypatch.setattr(fg, "device_hbm_limit", lambda: 95 * 1024**3)
+    m_v5p = fg._auto_restart(_FakeField(), 200)
+    assert m_v5p > 2 * m_v5e
+
     # small fields are never budget-capped
+    monkeypatch.setattr(fg, "device_hbm_limit", lambda: 0)
     small = jnp.zeros((32, 32, 32), jnp.float32)
-    assert _auto_restart(small, 20) == 20
+    assert fg._auto_restart(small, 20) == 20
     # the floor is 4 even for absurdly large fields
     class _Fake:
         size = 10 * 1024**3
         dtype = np.dtype(np.float32)
         sharding = None
-    assert _auto_restart(_Fake(), 20) == 4
+    assert fg._auto_restart(_Fake(), 20) == 4
 
 
 class TestLanes:
@@ -449,3 +470,27 @@ class TestLanes:
         assert use_lanes(64 ** 3, 3)            # small volume: on
         assert not use_lanes(2048 ** 3, 3)      # absurd volume: off
         assert not use_lanes(64 ** 3, 3, method="gmres")
+        # 512^3 x 3 f32 lanes OOMs a 16 GiB v5e when forced (measured
+        # RESOURCE_EXHAUSTED, bench_logs/r4/deff512_lanes_forced_oom.log) —
+        # the gate must reject it there.  The known-HBM table only engages
+        # on TPU backends; on CPU the 6 GiB fallback rejects it too.
+        assert not use_lanes(512 ** 3, 3)
+
+    def test_lanes_stall_break_ignores_converged_lanes(self):
+        """A lane already at rel <= eps must not keep the refinement loop
+        alive while the others plateau (code-review r4): 'improved' counts
+        only unconverged lanes that halved their residual."""
+        from openimpala_tpu.solve.lanes import _lanes_stalled
+
+        eps = 1e-9
+        inf = np.inf
+        # first round (prev = inf): never a stall
+        assert not _lanes_stalled(np.array([1e-3, 1e-2, 5e-3]),
+                                  np.full(3, inf), eps)
+        # lane 0 converged, lanes 1-2 plateaued -> STALL (the old
+        # `| (rel <= eps)` form would have spun to maxiter here)
+        assert _lanes_stalled(np.array([5e-10, 8e-6, 8e-6]),
+                              np.array([5e-10, 9e-6, 9e-6]), eps)
+        # lane 1 still halving -> keep refining
+        assert not _lanes_stalled(np.array([5e-10, 4e-6, 8e-6]),
+                                  np.array([5e-10, 9e-6, 9e-6]), eps)
