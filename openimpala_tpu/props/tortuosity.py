@@ -234,10 +234,12 @@ def tortuosity(
         else:
             # no host round-trip when the percolation already ran on device
             # (percolation_method="device" raster fill)
-            active_j = upload_mask(active)
+            with phase_timer("tortuosity/mask_upload"):
+                active_j = upload_mask(active)
 
     if warm is not None:
-        warm.join()  # never compile the same program from two threads
+        with phase_timer("tortuosity/warm_join"):
+            warm.join()  # never compile the same program from two threads
     with phase_timer("tortuosity/system_setup"):
         system, x0_free = _build_system(
             active_j, direction, float(vlo), float(vhi), tuple(dx),
@@ -273,8 +275,9 @@ def tortuosity(
             active=active if return_fields else None,
         )
 
-    flux_in, flux_out = boundary_fluxes(x_full, active_j, direction, dx)
-    flux_in, flux_out = float(flux_in), float(flux_out)
+    with phase_timer("tortuosity/flux"):
+        flux_in, flux_out = boundary_fluxes(x_full, active_j, direction, dx)
+        flux_in, flux_out = float(flux_in), float(flux_out)
     mag_in, mag_out = abs(flux_in), abs(flux_out)
     mag_avg = 0.5 * (mag_in + mag_out)
     if mag_avg > TINY_FLUX:

@@ -79,7 +79,11 @@ def _batched_cg_chunk(systems, precond, state, eps, chunk: int):
         return jax.lax.fori_loop(0, chunk, body, st)
 
     denoms = state[-1]
-    return jax.vmap(one_sample)(systems, precond, state[:-1], denoms) + (denoms,)
+    out = jax.vmap(one_sample)(systems, precond, state[:-1], denoms) + (denoms,)
+    # packed convergence probe — ONE fetch per chunk (see solve/cg.py)
+    probe = jnp.stack([jnp.max(out[4]).astype(jnp.float64),
+                       jnp.all(out[6]).astype(jnp.float64)])
+    return out, probe
 
 
 def _batched_cg(systems, r0, denom, eps, maxiter: int, precond,
@@ -93,8 +97,10 @@ def _batched_cg(systems, r0, denom, eps, maxiter: int, precond,
     state = (jnp.zeros_like(r0), r0, y, rz, jnp.zeros((B,), jnp.int32),
              rel0, rel0 <= jnp.asarray(eps, dtype), denom)
     while True:
-        state = _batched_cg_chunk(systems, precond, state, float(eps), chunk)
-        if bool(jnp.all(state[6])) or int(jnp.max(state[4])) >= maxiter:
+        state, probe = _batched_cg_chunk(systems, precond, state, float(eps),
+                                         chunk)
+        it_max, all_done = np.asarray(probe)  # ONE fetch per chunk
+        if all_done > 0 or int(it_max) >= maxiter:
             break
     z, r, p, rz, it, rel, done, _ = state
     return z, it, rel

@@ -14,6 +14,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 @jax.tree_util.register_dataclass
@@ -125,7 +126,14 @@ def _cg_chunk(system, precond, state, denom, eps, chunk: int):
         return (z, r, p, rz, jnp.where(done, it, it + 1),
                 jnp.where(done, rel, rel2), done2)
 
-    return jax.lax.fori_loop(0, chunk, body, state)
+    state = jax.lax.fori_loop(0, chunk, body, state)
+    # packed convergence probe: the host loop reads (it, done, rel) after
+    # every chunk, and each separate scalar fetch is a full tunnel
+    # round-trip — one stacked vector makes it ONE fetch per chunk
+    probe = jnp.stack([state[4].astype(jnp.float64),
+                       state[6].astype(jnp.float64),
+                       state[5].astype(jnp.float64)])
+    return state, probe
 
 
 @jax.jit
@@ -148,11 +156,12 @@ def _cg_chunked_loop(system, r0, denom, eps, maxiter: int, precond,
     state = (jnp.zeros_like(r0), r0, jnp.zeros_like(r0),
              jnp.zeros((), dtype), jnp.array(0, jnp.int32), rel0, done0)
     while True:
-        state = _cg_chunk(system, precond, state, denom, eps, chunk)
-        it = int(state[4])
+        state, probe = _cg_chunk(system, precond, state, denom, eps, chunk)
+        it_v, done_v, rel_v = np.asarray(probe)  # ONE fetch per chunk
+        it = int(it_v)
         if verbose >= 2:
-            print(f"    cg it={it:5d}  rel_res={float(state[5]):.6e}")
-        if bool(state[6]) or it >= maxiter:  # may overshoot by < chunk
+            print(f"    cg it={it:5d}  rel_res={rel_v:.6e}")
+        if done_v > 0 or it >= maxiter:  # may overshoot by < chunk
             break
     z, r, p, rz, it, rel, done = state
     return SolveResult(z=z, iterations=it, rel_res=rel, converged=rel <= eps)

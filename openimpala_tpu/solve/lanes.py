@@ -170,7 +170,12 @@ def _cg_chunk_lanes(lsys, precond, state, denom, eps, chunk: int):
         return (z, r, p, rz, jnp.where(done, it, it + 1),
                 jnp.where(done, rel, rel2), done2)
 
-    return jax.lax.fori_loop(0, chunk, body, state)
+    state = jax.lax.fori_loop(0, chunk, body, state)
+    # packed convergence probe — ONE fetch per chunk (see solve/cg.py)
+    probe = jnp.stack([state[4].astype(jnp.float64),
+                       state[6].astype(jnp.float64),
+                       state[5].astype(jnp.float64)])
+    return state, probe
 
 
 @jax.jit
@@ -198,12 +203,13 @@ def cg_lanes(lsys: LaneSystem, r0, denom, eps, maxiter: int, precond,
     state = (jnp.zeros_like(r0), r0, jnp.zeros_like(r0),
              jnp.zeros((L,), dtype), jnp.zeros((L,), jnp.int32), rel0, done0)
     while True:
-        state = _cg_chunk_lanes(lsys, precond, state, denom, eps, chunk)
-        its = np.asarray(state[4])
+        state, probe = _cg_chunk_lanes(lsys, precond, state, denom, eps, chunk)
+        probe = np.asarray(probe)  # ONE fetch per chunk: (3, L)
+        its, dones, rels_v = probe[0], probe[1], probe[2]
         if verbose >= 2:
-            rels = ", ".join(f"{float(v):.3e}" for v in np.asarray(state[5]))
+            rels = ", ".join(f"{float(v):.3e}" for v in rels_v)
             print(f"    cg-lanes it={int(its.max()):5d}  rel_res=[{rels}]")
-        if bool(np.asarray(state[6]).all()) or int(its.max()) >= maxiter:
+        if bool(dones.all()) or int(its.max()) >= maxiter:
             break
     z, r, p, rz, it, rel, done = state
     return SolveResult(z=z, iterations=it, rel_res=rel, converged=rel <= eps)

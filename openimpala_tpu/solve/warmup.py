@@ -56,7 +56,7 @@ def _warm(shape, direction, vlo, vhi, dx, storage_name, hi_plane, mesh,
         rel0, done0 = _rel0(r0, denom, jnp.asarray(eps, dtype))
         state = (jnp.zeros_like(r0), r0, jnp.zeros_like(r0),
                  jnp.zeros((), dtype), jnp.array(0, jnp.int32), rel0, done0)
-        state = _cg_chunk(system, M, state, denom, eps, 16)
+        state, _probe = _cg_chunk(system, M, state, denom, eps, 16)
         jax.block_until_ready(state[0])
     if inner_dtype is not None and (
             jnp.dtype(inner_dtype) != jnp.dtype(outer_dtype)):

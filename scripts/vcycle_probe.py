@@ -187,5 +187,5 @@ state = (x * 0, r, r, jnp.sum(r * r), jnp.array(0, jnp.int32),
          jnp.asarray(1.0, jnp.float32), jnp.array(False))
 # _cg_chunk is itself jitted with system/M as pytree ARGS (no closures)
 timeit("cg iteration (1x chunk)",
-       lambda st: _cg_chunk(system, M, st, 1.0, 1e-12, 1), state, iters=10)
+       lambda st: _cg_chunk(system, M, st, 1.0, 1e-12, 1)[0], state, iters=10)
 log("done")
