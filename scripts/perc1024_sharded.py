@@ -69,21 +69,42 @@ def main():
     log(f"packed sharded fill: {t_packed:.1f}s  n_active={n_packed} "
         f"(vf={n_packed / N**3:.6f})")
 
-    from openimpala_tpu.ops.floodfill import percolation_mask_sharded
+    modes = os.environ.get("MODES", "bfs").split(",")
 
-    arr = shard_volume(jnp.asarray(phase), mesh)
-    t0 = time.time()
-    res2 = percolation_mask_sharded(arr, 1, 0)
-    t_bfs = time.time() - t0
-    if res2 is None:
-        log("per-shard BFS unavailable (no native lib?)")
-    else:
-        active2, vf2 = res2
-        n_bfs = int(round(vf2 * N ** 3))
-        log(f"per-shard native BFS: {t_bfs:.1f}s  n_active={n_bfs} "
-            f"(vf={vf2:.6f})")
-        assert n_packed == n_bfs, f"mask count mismatch {n_packed} != {n_bfs}"
-        log("counts agree")
+    if "bfs" in modes:
+        from openimpala_tpu.ops.floodfill import percolation_mask_sharded
+
+        arr = shard_volume(jnp.asarray(phase), mesh)
+        t0 = time.time()
+        res2 = percolation_mask_sharded(arr, 1, 0)
+        t_bfs = time.time() - t0
+        if res2 is None:
+            log("per-shard BFS unavailable (no native lib?)")
+        else:
+            active2, vf2 = res2
+            n_bfs = int(round(vf2 * N ** 3))
+            log(f"per-shard native BFS: {t_bfs:.1f}s  n_active={n_bfs} "
+                f"(vf={vf2:.6f})")
+            assert n_packed == n_bfs, \
+                f"mask count mismatch {n_packed} != {n_bfs}"
+            log("counts agree")
+
+    if "dilation" in modes:
+        # the O(sum dims) synchronous-dilation fallback the packed fill
+        # replaced for multi-host/GSPMD volumes (floodfill.py, pre-r4)
+        from openimpala_tpu.ops.floodfill import flood_fill_device
+        from openimpala_tpu.utils.common import count_true
+
+        seeds_lo = jnp.zeros((N,) * 3, bool).at[0].set(True)
+        seeds_hi = jnp.zeros((N,) * 3, bool).at[N - 1].set(True)
+        t0 = time.time()
+        reach_in, _ = flood_fill_device(sharded, seeds_lo)
+        reach_out, _ = flood_fill_device(sharded, seeds_hi)
+        n_dil = int(count_true(reach_in & reach_out))
+        t_dil = time.time() - t0
+        log(f"synchronous dilation: {t_dil:.1f}s  n_active={n_dil}")
+        assert n_dil == n_packed, f"mask count mismatch {n_dil} != {n_packed}"
+        log("counts agree (dilation)")
     log("DONE")
 
 
