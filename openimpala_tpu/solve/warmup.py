@@ -56,13 +56,16 @@ def _warm(shape, direction, vlo, vhi, dx, storage_name, hi_plane, mesh,
         rel0, done0 = _rel0(r0, denom, jnp.asarray(eps, dtype))
         state = (jnp.zeros_like(r0), r0, jnp.zeros_like(r0),
                  jnp.zeros((), dtype), jnp.array(0, jnp.int32), rel0, done0)
-        state, _probe = _cg_chunk(system, M, state, denom, eps, 16)
-        jax.block_until_ready(state[0])
+        # AOT-prime: lower().compile() shares the loaded executable with the
+        # real call path (measured: first real call 0.4 s vs 2.6 s cold at
+        # 256^3) WITHOUT executing 16 dummy V-cycles — the device is
+        # concurrently running the percolation fill (props/tortuosity.py),
+        # so dummy execution would serialize behind/ahead of real work
+        _cg_chunk.lower(system, M, state, denom, eps, chunk=16).compile()
     if inner_dtype is not None and (
             jnp.dtype(inner_dtype) != jnp.dtype(outer_dtype)):
-        _, scale = _outer_residual(system, x0.astype(outer_dtype),
-                                   jnp.dtype(outer_dtype).name)
-        jax.block_until_ready(scale)
+        _outer_residual.lower(system, x0.astype(outer_dtype),
+                              jnp.dtype(outer_dtype).name).compile()
 
 
 class SolverWarmup:
