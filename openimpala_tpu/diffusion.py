@@ -98,6 +98,28 @@ def main(argv=None) -> int:
     if cfg.verbose >= 1:
         print(f"Reading full domain data from: "
               f"{os.path.join(cfg.data_path, cfg.filename)}")
+    # flow-through: the solver programs depend only on dims + config, and
+    # the readers are metadata-first — start the background warm-up NOW so
+    # program compile/load overlaps the voxel read + threshold
+    # (props.tortuosity.prime_solver; best-effort, None off-TPU)
+    warm0 = None
+    warm0_dir = None
+    if (cfg.calculation_method == "flow_through" and not cfg.rev_do_study
+            and os.environ.get("OPENIMPALA_NO_EARLY_WARM") != "1"):
+        try:
+            meta = _reader(cfg)
+            dims = (meta.width, meta.height, meta.depth)
+            if min(dims) > 0:
+                from .props.tortuosity import prime_solver
+
+                warm0_dir = parse_directions(cfg.direction)[0]
+                warm0 = prime_solver(
+                    dims, warm0_dir, vlo=cfg.tortuosity_vlo,
+                    vhi=cfg.tortuosity_vhi, method=method,
+                    precond=cfg.precond, inner_dtype=inner_dtype,
+                    eps=cfg.eps)
+        except Exception:
+            warm0 = None
     # homogenization without a REV study never needs the host copy: ingest
     # straight into sharded device memory when a multi-device mesh exists
     phase = None
@@ -188,6 +210,7 @@ def main(argv=None) -> int:
                 inner_dtype=inner_dtype, verbose=cfg.verbose,
                 return_fields=cfg.write_plotfile or cfg.debug_write_active_mask,
                 original_shape=orig_shape,
+                warm=warm0 if d == warm0_dir else None,
             )
             results[f"Tortuosity_{name}"] = r.value
             print(f"  >>> Calculated Tortuosity ({name}): {r.value:.8f} <<<")

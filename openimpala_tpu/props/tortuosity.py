@@ -71,6 +71,50 @@ class TortuosityResult:
     active: object = None  # percolation mask (if return_fields)
 
 
+def prime_solver(shape, direction, *, vlo: float = -1.0, vhi: float = 1.0,
+                 dx=(1.0, 1.0, 1.0), method: str = "cg",
+                 precond: str = "auto", precond_opts: dict = None,
+                 inner_dtype=jnp.float32, dtype=jnp.float64,
+                 eps: float = 1e-9, mesh="auto",
+                 percolation_method: str = "auto"):
+    """Start the background solver warm-up for a flow-through solve of
+    ``shape`` along ``direction`` BEFORE the voxel data exists — the CLI
+    calls this at reader-METADATA time so solver program compile/load
+    overlaps the file read + threshold (the programs depend only on shapes,
+    dtypes and static options; solve/warmup.py).  Returns a handle to pass
+    as ``tortuosity(..., warm=handle)``, or None when warming cannot pay
+    (non-TPU backend, small volume, 1-core host with a host-side fill).
+
+    The reference has no counterpart: Hypre setup runs inline after the
+    flood fill (``TortuosityHypre.cpp:208-649``).
+
+    MIRROR: the shape/mesh/storage resolution below must match the inline
+    block in ``tortuosity()`` — same resolve_mesh padding, same hi_plane
+    rule, same device-fill predicate — or the primed programs miss."""
+    direction = parse_direction(direction)
+    shape = tuple(int(v) for v in shape)
+    mesh = resolve_mesh(mesh, shape)
+    pad = 0
+    hi_plane = None
+    if mesh is not None:
+        pad = (-shape[0]) % mesh.devices.size
+        if pad and direction == 0:
+            hi_plane = shape[0] - 1
+    solve_shape = (shape[0] + pad,) + tuple(shape[1:])
+    storage = dtype if inner_dtype is None else inner_dtype
+    from ..ops.floodfill import auto_uses_device_fill
+
+    device_perc = percolation_method == "device" or (
+        percolation_method == "auto" and mesh is None
+        and auto_uses_device_fill(shape))
+    return warmup.maybe_start(
+        solve_shape, direction, float(vlo), float(vhi), tuple(dx),
+        jnp.dtype(storage).name, hi_plane, mesh, precond, precond_opts,
+        method, inner_dtype, dtype, float(eps),
+        device_percolation=device_perc,
+    )
+
+
 def tortuosity(
     phase,
     phase_id: int,
@@ -91,6 +135,7 @@ def tortuosity(
     verbose: int = 0,
     mesh="auto",
     original_shape=None,
+    warm=None,
 ) -> TortuosityResult:
     """``mesh``: None (single device), a ``jax.sharding.Mesh``, or "auto"
     (shard large volumes along X over all local devices).  The sharded path
@@ -167,7 +212,8 @@ def tortuosity(
 
                 active_vf = count_true(active_j) / int(np.prod(shape))
         active = active_j
-        warm = None
+        # a caller-provided prime_solver handle still gets joined below;
+        # the pre-sharded path starts no warm-up of its own
         # X padding only: for direction X the outlet Dirichlet plane must
         # override to the original face; other directions are unpadded
         hi_plane = (outlet if direction == 0 and padded_shape != shape
@@ -196,11 +242,15 @@ def tortuosity(
             percolation_method == "auto" and mesh is None
             and (not isinstance(phase, np.ndarray)  # device arrays: device fill
                  or auto_uses_device_fill(shape)))
-        warm = warmup.maybe_start(
-            solve_shape, direction, vlo, vhi, dx, jnp.dtype(storage).name,
-            hi_plane, mesh, precond, precond_opts, method, inner_dtype,
-            dtype, eps, device_percolation=device_perc,
-        )
+        if warm is None:
+            # no early handle from prime_solver: start the warm-up now so it
+            # overlaps the percolation fill (MIRROR of prime_solver above)
+            warm = warmup.maybe_start(
+                solve_shape, direction, vlo, vhi, dx,
+                jnp.dtype(storage).name, hi_plane, mesh, precond,
+                precond_opts, method, inner_dtype, dtype, eps,
+                device_percolation=device_perc,
+            )
 
         with phase_timer("tortuosity/percolation_mask"):
             active, active_vf = percolation_mask(
