@@ -104,12 +104,12 @@ def main(argv=None) -> int:
     # (props.tortuosity.prime_solver; best-effort, None off-TPU)
     warm0 = None
     warm0_dir = None
-    if (cfg.calculation_method == "flow_through" and not cfg.rev_do_study
+    if (not cfg.rev_do_study
             and os.environ.get("OPENIMPALA_NO_EARLY_WARM") != "1"):
         try:
             meta = _reader(cfg)
             dims = (meta.width, meta.height, meta.depth)
-            if min(dims) > 0:
+            if min(dims) > 0 and cfg.calculation_method == "flow_through":
                 from .props.tortuosity import prime_solver
 
                 warm0_dir = parse_directions(cfg.direction)[0]
@@ -118,6 +118,12 @@ def main(argv=None) -> int:
                     vhi=cfg.tortuosity_vhi, method=method,
                     precond=cfg.precond, inner_dtype=inner_dtype,
                     eps=cfg.eps)
+            elif min(dims) > 0 and cfg.calculation_method == "homogenization":
+                from .props.effective_diffusivity import prime_cell_solver
+
+                warm0 = prime_cell_solver(
+                    dims, method=method, precond=cfg.precond,
+                    inner_dtype=inner_dtype, eps=cfg.eps)
         except Exception:
             warm0 = None
     # homogenization without a REV study never needs the host copy: ingest
@@ -167,6 +173,7 @@ def main(argv=None) -> int:
             phase, cfg.phase_id, eps=cfg.eps, maxiter=cfg.krylov_maxiter,
             method=method, precond=cfg.precond, inner_dtype=inner_dtype,
             verbose=cfg.verbose, return_fields=cfg.write_plotfile,
+            warm=warm0,
         )
         if res.converged:
             print("Full Domain Effective Diffusivity Tensor D_eff / D_material:")

@@ -43,6 +43,33 @@ def _build_cell_system(active, k, dx, storage):
             jnp.zeros(active.shape, storage))
 
 
+def prime_cell_solver(shape, *, dx=(1.0, 1.0, 1.0), method: str = "cg",
+                      precond: str = "auto", precond_opts: dict = None,
+                      inner_dtype=jnp.float32, dtype=jnp.float64,
+                      eps: float = 1e-9, mesh="auto"):
+    """Start the background solver warm-up for a homogenization solve of
+    ``shape`` BEFORE the voxel data exists — the CLI calls this at reader-
+    metadata time so the cell-problem programs (hierarchy, chunked CG or
+    lanes, f64 outer residual) compile/load while the file is read
+    (solve/warmup.py).  Returns a handle for
+    ``effective_diffusivity(..., warm=handle)`` or None.
+
+    MIRROR: the mesh/storage resolution must match effective_diffusivity's
+    inline logic (periodic domain: no padding, single-device fallback when
+    X does not divide the mesh)."""
+    from ..solve import warmup
+
+    shape = tuple(int(v) for v in shape)
+    mesh = resolve_mesh(mesh, shape)
+    if mesh is not None and shape[0] % mesh.devices.size != 0:
+        mesh = None
+    storage = dtype if inner_dtype is None else inner_dtype
+    return warmup.maybe_start(
+        shape, 0, -1.0, 1.0, tuple(dx), jnp.dtype(storage).name, None,
+        mesh, precond, precond_opts, method, inner_dtype, dtype,
+        float(eps), device_percolation=True, problem="cell")
+
+
 @dataclasses.dataclass
 class EffectiveDiffusivityResult:
     deff: np.ndarray  # (3,3) tensor, NaN if any solve failed
@@ -68,6 +95,7 @@ def effective_diffusivity(
     verbose: int = 0,
     mesh="auto",
     lanes: bool | str = "auto",
+    warm=None,
 ) -> EffectiveDiffusivityResult:
     """``mesh``: None | Mesh | "auto" — domain decomposition along X (see
     ``props.tortuosity``).  The periodic cell problem cannot be padded (a
@@ -124,6 +152,9 @@ def effective_diffusivity(
         )
 
     storage = dtype if inner_dtype is None else inner_dtype
+
+    if warm is not None:
+        warm.join()  # never compile the same program from two threads
 
     # lockstep lanes: the operator is k-independent, so the three chi
     # solves can advance as lanes of ONE program — every chunk dispatch,

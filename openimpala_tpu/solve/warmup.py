@@ -28,7 +28,8 @@ import threading
 
 
 def _warm(shape, direction, vlo, vhi, dx, storage_name, hi_plane, mesh,
-          precond, precond_opts, method, inner_dtype, outer_dtype, eps):
+          precond, precond_opts, method, inner_dtype, outer_dtype, eps,
+          problem="flow"):
     import jax
     import jax.numpy as jnp
 
@@ -40,6 +41,10 @@ def _warm(shape, direction, vlo, vhi, dx, storage_name, hi_plane, mesh,
         from ..parallel.mesh import shard_volume
 
         ones = shard_volume(ones, mesh)
+    if problem == "cell":
+        return _warm_cell(ones, dx, storage_name, mesh, precond,
+                          precond_opts, method, inner_dtype, outer_dtype,
+                          eps)
     system, x0 = _build_system(ones, direction, vlo, vhi, dx, storage_name,
                                hi_plane)
     M = make_precond(system, precond, precond_opts, method)
@@ -68,6 +73,75 @@ def _warm(shape, direction, vlo, vhi, dx, storage_name, hi_plane, mesh,
                               jnp.dtype(outer_dtype).name).compile()
 
 
+def _warm_cell(ones, dx, storage_name, mesh, precond, precond_opts, method,
+               inner_dtype, outer_dtype, eps):
+    """Prime the homogenization (periodic cell problem) solver programs:
+    hierarchy build + the chunked-CG program (lanes or mono, mirroring
+    effective_diffusivity's use_lanes gate) + the f64 outer residual.
+    AOT lower().compile() only — the dummy values never execute."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..props.effective_diffusivity import _build_cell_system
+    from .cg import _cg_chunk
+    from .lanes import use_lanes
+    from .refine import make_precond, _outer_residual
+
+    if jax.default_backend() != "tpu" or method not in ("cg", "pcg"):
+        return
+    active = ones.astype(bool)
+    shape = active.shape
+    n_total = int(shape[0]) * int(shape[1]) * int(shape[2])
+    storage = jnp.dtype(storage_name)
+    lanes = (mesh is None and inner_dtype is not None
+             and use_lanes(n_total, 3, method,
+                           inner_bytes=jnp.dtype(inner_dtype).itemsize,
+                           outer_bytes=jnp.dtype(outer_dtype).itemsize))
+    if lanes:
+        from .lanes import (LaneSystem, _cg_chunk_lanes, _outer_residual_lanes,
+                            _rel0_lanes)
+
+        systems = [_build_cell_system(active, k, tuple(dx), storage_name)[0]
+                   for k in range(3)]
+        lsys = LaneSystem.from_systems(systems)
+        M = make_precond(lsys.base(), precond, precond_opts)
+        L = 3
+        r0 = lsys.initial_residual(jnp.zeros(lsys.r0_b.shape, storage))
+        denom = jnp.ones((L,), storage)
+        rel0, done0 = _rel0_lanes(r0, denom, jnp.asarray(eps, storage))
+        state = (jnp.zeros_like(r0), r0, jnp.zeros_like(r0),
+                 jnp.zeros((L,), storage), jnp.zeros((L,), jnp.int32),
+                 rel0, done0)
+        # chunk MIRRORS cg_lanes's default: max(2, 16 // L)
+        _cg_chunk_lanes.lower(lsys, M, state, denom, float(eps),
+                              max(2, 16 // L)).compile()
+        if inner_dtype is not None and (
+                jnp.dtype(inner_dtype) != jnp.dtype(outer_dtype)):
+            x = jnp.zeros((L,) + tuple(shape), outer_dtype)
+            _outer_residual_lanes.lower(
+                lsys, x, jnp.dtype(outer_dtype).name).compile()
+        return
+    system, x0 = _build_cell_system(active, 0, tuple(dx), storage_name)
+    M = make_precond(system, precond, precond_opts, method)
+    from .preconditioners import GalerkinMGPreconditioner
+
+    if isinstance(M, GalerkinMGPreconditioner):
+        from .cg import _rel0
+
+        r0 = system.initial_residual(x0)
+        denom = jnp.asarray(1.0, r0.dtype)
+        rel0, done0 = _rel0(r0, denom, jnp.asarray(eps, r0.dtype))
+        state = (jnp.zeros_like(r0), r0, jnp.zeros_like(r0),
+                 jnp.zeros((), r0.dtype), jnp.array(0, jnp.int32), rel0,
+                 done0)
+        _cg_chunk.lower(system, M, state, denom, float(eps),
+                        chunk=16).compile()
+    if inner_dtype is not None and (
+            jnp.dtype(inner_dtype) != jnp.dtype(outer_dtype)):
+        _outer_residual.lower(system, x0.astype(outer_dtype),
+                              jnp.dtype(outer_dtype).name).compile()
+
+
 class SolverWarmup:
     """Best-effort background prime of the solve-path programs."""
 
@@ -89,7 +163,8 @@ class SolverWarmup:
 
 def maybe_start(shape, direction, vlo, vhi, dx, storage_name, hi_plane, mesh,
                 precond, precond_opts, method, inner_dtype, outer_dtype,
-                eps, device_percolation: bool = False) -> SolverWarmup | None:
+                eps, device_percolation: bool = False,
+                problem: str = "flow") -> SolverWarmup | None:
     """Start the warm-up thread when it can plausibly pay for itself: TPU
     backend, a volume large enough that program load dominates (the
     percolation fill it overlaps with also scales with volume), and a host
@@ -115,4 +190,5 @@ def maybe_start(shape, direction, vlo, vhi, dx, storage_name, hi_plane, mesh,
         return None
     return SolverWarmup(shape, direction, float(vlo), float(vhi), tuple(dx),
                         storage_name, hi_plane, mesh, precond, precond_opts,
-                        method, inner_dtype, outer_dtype, float(eps))
+                        method, inner_dtype, outer_dtype, float(eps),
+                        problem)
