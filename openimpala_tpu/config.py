@@ -157,10 +157,12 @@ class DiffusionConfig:
                                "no", "on", "off"):
             raise ValueError(
                 f"rev.batch must be auto/true/false, got {c.rev_batch!r}")
-        c.raw_width = pp.query("raw.width", c.raw_width, int)
-        c.raw_height = pp.query("raw.height", c.raw_height, int)
-        c.raw_depth = pp.query("raw.depth", c.raw_depth, int)
-        c.raw_datatype = pp.query("raw.datatype", c.raw_datatype)
+        # both spellings: the dotted TPU-native block and the underscore
+        # forms the reference README documents (README.md:222)
+        c.raw_width = pp.query("raw.width", pp.query("raw_width", c.raw_width, int), int)
+        c.raw_height = pp.query("raw.height", pp.query("raw_height", c.raw_height, int), int)
+        c.raw_depth = pp.query("raw.depth", pp.query("raw_depth", c.raw_depth, int), int)
+        c.raw_datatype = pp.query("raw.datatype", pp.query("raw_datatype", c.raw_datatype))
         c.debug_write_active_mask = pp.query(
             "debug.write_active_mask", c.debug_write_active_mask, bool
         )

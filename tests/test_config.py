@@ -48,6 +48,18 @@ def test_rev_batch_key():
         _cfg("rev.batch = maybe")
 
 
+def test_raw_key_spellings():
+    """Both the dotted raw.* block and the underscore forms the reference
+    README documents (README.md:222) are accepted; dotted wins when both
+    appear."""
+    c = _cfg("raw_width = 10\nraw_height = 20\nraw_depth = 30\n"
+             "raw_datatype = FLOAT32LE")
+    assert (c.raw_width, c.raw_height, c.raw_depth) == (10, 20, 30)
+    assert c.raw_datatype == "FLOAT32LE"
+    c = _cfg("raw_width = 10\nraw.width = 99")
+    assert c.raw_width == 99
+
+
 def test_solver_surface():
     # the full reference name surface (Diffusion.cpp:45-58) is accepted
     for name in ["FlexGMRES", "GMRES", "FGMRES", "PCG", "CG", "Jacobi",
