@@ -39,6 +39,15 @@ grep -q "Tortuosity_X" "$SMOKE/results_seq/results.txt"
 diff <(grep "Tortuosity_X" "$SMOKE/results/results.txt") \
      <(grep "Tortuosity_X" "$SMOKE/results_seq/results.txt")
 
+echo "=== CLI smoke: RAW reader via the README raw_* key spellings ==="
+OPENIMPALA_PLATFORM=cpu timeout 600 python -m openimpala_tpu.diffusion \
+    "$SMOKE/inputs" "filename=sample_2phase_3d_uint8.raw" \
+    raw_width=100 raw_height=100 raw_depth=100 raw_datatype=UINT8 \
+    calculation_method=flow_through results_path="$SMOKE/results_raw/"
+# same voxels through a different reader must reproduce the numbers exactly
+diff <(grep "Tortuosity_X" "$SMOKE/results/results.txt") \
+     <(grep "Tortuosity_X" "$SMOKE/results_raw/results.txt")
+
 echo "=== multi-chip dry run (8 virtual devices) ==="
 timeout 600 python -c "import __graft_entry__ as g; g.dryrun_multichip(8)"
 
