@@ -480,6 +480,14 @@ class GalerkinMGPreconditioner:
     #   3       cheby d150 r4e3 @128^3     47     6.8 MiB    3.9 s
     #   3       cheby d100 r4e3 @128^3     46     6.8 MiB    3.6 s  <- default
     #
+    # FINE-smoother variants on the default 3-level cycle (same harness,
+    # r4 — bench_logs/r4/itersweep_smoothers.log): Chebyshev pre/post
+    # smoothing buys almost nothing on iterations and pays 1.5-2x per
+    # iteration (cheby 2+2: 48 iters @101 ms; cheby 3+3: 47 @129; Jacobi
+    # 3+3: 46 @81 — vs the default Jacobi 2+2: 49 @65 ms, 3.2 s warm
+    # solve).  The cycle is coarse-approximation-limited, not
+    # smoothing-limited; nu1=nu2=2 damped Jacobi stays the default.
+    #
     # A SHALLOW hierarchy with a strong Chebyshev coarse solve beats the
     # deep one on every axis at once: the coarsest operator stays close to
     # the fine one (better approximation property -> fewer outer
@@ -505,7 +513,20 @@ class GalerkinMGPreconditioner:
         while n_levels + 1 < max_levels and _can_coarsen(shape):
             shape = tuple(s // 2 for s in shape)
             n_levels += 1
-        levels = _build_hierarchy(system, n_levels)
+        if n_levels == 0:
+            levels = ()
+        elif isinstance(system.code, jax.Array):
+            # concrete arrays (and tracers, which subclass jax.Array —
+            # from_system then inlines into the surrounding trace)
+            levels = _build_hierarchy(system, n_levels)
+        else:
+            # ABSTRACT system (ShapeDtypeStruct leaves, solve/warmup.py):
+            # AOT-prime the hierarchy-build program without executing it,
+            # and derive the level structure by shape inference only — the
+            # warm-up thread never touches the device this way
+            _build_hierarchy.lower(system, n_levels).compile()
+            levels = jax.eval_shape(
+                _partial(_build_hierarchy, n_levels=n_levels), system)
         # conductance levels below ``pallas_min_cells`` pin XLA: each Pallas
         # (shape, mode) pair embeds another Mosaic binary in the serialized
         # executable whose one-time deserialize+upload over the tunnel costs

@@ -36,17 +36,43 @@ def _warm(shape, direction, vlo, vhi, dx, storage_name, hi_plane, mesh,
     from ..props.tortuosity import _build_system
     from .refine import make_precond, _outer_residual
 
-    ones = jnp.ones(shape, jnp.int8)
-    if mesh is not None:
-        from ..parallel.mesh import shard_volume
+    # ABSTRACT warm-up (default): every program the solve will hit is
+    # AOT-primed from ShapeDtypeStructs — lower().compile() shares the
+    # loaded executable with the later real call (measured 0.215 s first
+    # real call vs seconds cold), and eval_shape derives the pytree
+    # structures, so the thread NEVER creates dummy device data or executes
+    # dummy programs.  The eager fallback (dummy all-ones volume) remains
+    # for configurations whose preconditioner construction needs values
+    # (sa, jacobi, cheby) and for sharded meshes (GSPMD shardings must
+    # propagate from committed arrays).
+    resolved = "gmg" if precond in ("auto", None) else precond
+    abstract = (mesh is None and method in ("cg", "pcg")
+                and resolved == "gmg")
+    if abstract:
+        ones = jax.ShapeDtypeStruct(tuple(shape), jnp.int8)
+    else:
+        ones = jnp.ones(shape, jnp.int8)
+        if mesh is not None:
+            from ..parallel.mesh import shard_volume
 
-        ones = shard_volume(ones, mesh)
+            ones = shard_volume(ones, mesh)
     if problem == "cell":
         return _warm_cell(ones, dx, storage_name, mesh, precond,
                           precond_opts, method, inner_dtype, outer_dtype,
                           eps)
-    system, x0 = _build_system(ones, direction, vlo, vhi, dx, storage_name,
-                               hi_plane)
+    if abstract:
+        _build_system.lower(ones, direction, vlo, vhi, dx, storage_name,
+                            hi_plane).compile()
+        from functools import partial
+
+        system, x0 = jax.eval_shape(
+            partial(_build_system, direction=direction, vlo=vlo, vhi=vhi,
+                    dx=dx, storage=storage_name, hi_plane=hi_plane), ones)
+    else:
+        system, x0 = _build_system(ones, direction, vlo, vhi, dx,
+                                   storage_name, hi_plane)
+    # make_precond handles abstract systems for gmg (preconditioners.py
+    # from_system primes the hierarchy program and shape-infers the levels)
     M = make_precond(system, precond, precond_opts, method)
 
     from .cg import _cg_chunk, _rel0
@@ -55,21 +81,32 @@ def _warm(shape, direction, vlo, vhi, dx, storage_name, hi_plane, mesh,
     on_tpu = jax.default_backend() == "tpu"
     if (on_tpu and method in ("cg", "pcg")
             and isinstance(M, GalerkinMGPreconditioner)):
-        r0 = system.initial_residual(x0)
-        dtype = r0.dtype
-        denom = jnp.asarray(system.b_norm, dtype)
-        rel0, done0 = _rel0(r0, denom, jnp.asarray(eps, dtype))
-        state = (jnp.zeros_like(r0), r0, jnp.zeros_like(r0),
-                 jnp.zeros((), dtype), jnp.array(0, jnp.int32), rel0, done0)
-        # AOT-prime: lower().compile() shares the loaded executable with the
-        # real call path (measured: first real call 0.4 s vs 2.6 s cold at
-        # 256^3) WITHOUT executing 16 dummy V-cycles — the device is
-        # concurrently running the percolation fill (props/tortuosity.py),
-        # so dummy execution would serialize behind/ahead of real work
+        if abstract:
+            r0 = jax.eval_shape(lambda s, x: s.initial_residual(x),
+                                system, x0)
+            dtype = jnp.dtype(r0.dtype)
+            scalar = jax.ShapeDtypeStruct((), dtype)
+            denom = scalar
+            _rel0.lower(r0, denom, scalar).compile()
+            state = (r0, r0, r0, scalar,
+                     jax.ShapeDtypeStruct((), jnp.int32), scalar,
+                     jax.ShapeDtypeStruct((), jnp.bool_))
+        else:
+            r0 = system.initial_residual(x0)
+            dtype = r0.dtype
+            denom = jnp.asarray(system.b_norm, dtype)
+            rel0, done0 = _rel0(r0, denom, jnp.asarray(eps, dtype))
+            state = (jnp.zeros_like(r0), r0, jnp.zeros_like(r0),
+                     jnp.zeros((), dtype), jnp.array(0, jnp.int32), rel0,
+                     done0)
+        # mirror of solve/cg.py _cg_chunked_loop's call (eps stays a
+        # Python float there too — the compile keys must match exactly)
         _cg_chunk.lower(system, M, state, denom, eps, chunk=16).compile()
     if inner_dtype is not None and (
             jnp.dtype(inner_dtype) != jnp.dtype(outer_dtype)):
-        _outer_residual.lower(system, x0.astype(outer_dtype),
+        x_hi = (jax.ShapeDtypeStruct(x0.shape, jnp.dtype(outer_dtype))
+                if abstract else x0.astype(outer_dtype))
+        _outer_residual.lower(system, x_hi,
                               jnp.dtype(outer_dtype).name).compile()
 
 
@@ -78,9 +115,12 @@ def _warm_cell(ones, dx, storage_name, mesh, precond, precond_opts, method,
     """Prime the homogenization (periodic cell problem) solver programs:
     hierarchy build + the chunked-CG program (lanes or mono, mirroring
     effective_diffusivity's use_lanes gate) + the f64 outer residual.
-    AOT lower().compile() only — the dummy values never execute."""
+    AOT lower().compile() only — the dummy values never execute; with an
+    abstract ``ones`` (ShapeDtypeStruct from _warm) nothing touches the
+    device at all."""
     import jax
     import jax.numpy as jnp
+    from functools import partial
 
     from ..props.effective_diffusivity import _build_cell_system
     from .cg import _cg_chunk
@@ -89,7 +129,9 @@ def _warm_cell(ones, dx, storage_name, mesh, precond, precond_opts, method,
 
     if jax.default_backend() != "tpu" or method not in ("cg", "pcg"):
         return
-    active = ones.astype(bool)
+    abstract = not isinstance(ones, jax.Array)
+    active = (jax.ShapeDtypeStruct(tuple(ones.shape), jnp.bool_)
+              if abstract else ones.astype(bool))
     shape = active.shape
     n_total = int(shape[0]) * int(shape[1]) * int(shape[2])
     storage = jnp.dtype(storage_name)
@@ -101,44 +143,89 @@ def _warm_cell(ones, dx, storage_name, mesh, precond, precond_opts, method,
         from .lanes import (LaneSystem, _cg_chunk_lanes, _outer_residual_lanes,
                             _rel0_lanes)
 
-        systems = [_build_cell_system(active, k, tuple(dx), storage_name)[0]
-                   for k in range(3)]
-        lsys = LaneSystem.from_systems(systems)
-        M = make_precond(lsys.base(), precond, precond_opts)
         L = 3
-        r0 = lsys.initial_residual(jnp.zeros(lsys.r0_b.shape, storage))
-        denom = jnp.ones((L,), storage)
-        rel0, done0 = _rel0_lanes(r0, denom, jnp.asarray(eps, storage))
-        state = (jnp.zeros_like(r0), r0, jnp.zeros_like(r0),
-                 jnp.zeros((L,), storage), jnp.zeros((L,), jnp.int32),
-                 rel0, done0)
+        if abstract:
+            for k in range(3):
+                _build_cell_system.lower(active, k, tuple(dx),
+                                         storage_name).compile()
+
+            def _prep(a):
+                systems = [_build_cell_system(a, k, tuple(dx),
+                                              storage_name)[0]
+                           for k in range(3)]
+                lsys = LaneSystem.from_systems(systems)
+                r0 = lsys.initial_residual(
+                    jnp.zeros(lsys.r0_b.shape, storage))
+                return lsys, lsys.base(), r0
+
+            lsys, base, r0 = jax.eval_shape(_prep, active)
+            M = make_precond(base, precond, precond_opts)
+            vec = jax.ShapeDtypeStruct((L,), storage)
+            denom = vec
+            _rel0_lanes.lower(r0, denom,
+                              jax.ShapeDtypeStruct((), storage)).compile()
+            state = (r0, r0, r0, vec,
+                     jax.ShapeDtypeStruct((L,), jnp.int32), vec,
+                     jax.ShapeDtypeStruct((L,), jnp.bool_))
+        else:
+            systems = [_build_cell_system(active, k, tuple(dx),
+                                          storage_name)[0]
+                       for k in range(3)]
+            lsys = LaneSystem.from_systems(systems)
+            M = make_precond(lsys.base(), precond, precond_opts)
+            r0 = lsys.initial_residual(jnp.zeros(lsys.r0_b.shape, storage))
+            denom = jnp.ones((L,), storage)
+            rel0, done0 = _rel0_lanes(r0, denom, jnp.asarray(eps, storage))
+            state = (jnp.zeros_like(r0), r0, jnp.zeros_like(r0),
+                     jnp.zeros((L,), storage), jnp.zeros((L,), jnp.int32),
+                     rel0, done0)
         # chunk MIRRORS cg_lanes's default: max(2, 16 // L)
         _cg_chunk_lanes.lower(lsys, M, state, denom, float(eps),
                               max(2, 16 // L)).compile()
         if inner_dtype is not None and (
                 jnp.dtype(inner_dtype) != jnp.dtype(outer_dtype)):
-            x = jnp.zeros((L,) + tuple(shape), outer_dtype)
+            x = jax.ShapeDtypeStruct((L,) + tuple(shape),
+                                     jnp.dtype(outer_dtype))
             _outer_residual_lanes.lower(
                 lsys, x, jnp.dtype(outer_dtype).name).compile()
         return
-    system, x0 = _build_cell_system(active, 0, tuple(dx), storage_name)
+    if abstract:
+        _build_cell_system.lower(active, 0, tuple(dx),
+                                 storage_name).compile()
+        system, x0 = jax.eval_shape(
+            partial(_build_cell_system, k=0, dx=tuple(dx),
+                    storage=storage_name), active)
+    else:
+        system, x0 = _build_cell_system(active, 0, tuple(dx), storage_name)
     M = make_precond(system, precond, precond_opts, method)
     from .preconditioners import GalerkinMGPreconditioner
 
     if isinstance(M, GalerkinMGPreconditioner):
         from .cg import _rel0
 
-        r0 = system.initial_residual(x0)
-        denom = jnp.asarray(1.0, r0.dtype)
-        rel0, done0 = _rel0(r0, denom, jnp.asarray(eps, r0.dtype))
-        state = (jnp.zeros_like(r0), r0, jnp.zeros_like(r0),
-                 jnp.zeros((), r0.dtype), jnp.array(0, jnp.int32), rel0,
-                 done0)
+        if abstract:
+            r0 = jax.eval_shape(lambda s, x: s.initial_residual(x),
+                                system, x0)
+            scalar = jax.ShapeDtypeStruct((), jnp.dtype(r0.dtype))
+            denom = scalar
+            _rel0.lower(r0, denom, scalar).compile()
+            state = (r0, r0, r0, scalar,
+                     jax.ShapeDtypeStruct((), jnp.int32), scalar,
+                     jax.ShapeDtypeStruct((), jnp.bool_))
+        else:
+            r0 = system.initial_residual(x0)
+            denom = jnp.asarray(1.0, r0.dtype)
+            rel0, done0 = _rel0(r0, denom, jnp.asarray(eps, r0.dtype))
+            state = (jnp.zeros_like(r0), r0, jnp.zeros_like(r0),
+                     jnp.zeros((), r0.dtype), jnp.array(0, jnp.int32), rel0,
+                     done0)
         _cg_chunk.lower(system, M, state, denom, float(eps),
                         chunk=16).compile()
     if inner_dtype is not None and (
             jnp.dtype(inner_dtype) != jnp.dtype(outer_dtype)):
-        _outer_residual.lower(system, x0.astype(outer_dtype),
+        x_hi = (jax.ShapeDtypeStruct(tuple(x0.shape), jnp.dtype(outer_dtype))
+                if abstract else x0.astype(outer_dtype))
+        _outer_residual.lower(system, x_hi,
                               jnp.dtype(outer_dtype).name).compile()
 
 

@@ -243,8 +243,13 @@ def test_warmup_internals_run_on_cpu():
     precond paths) — exercise _warm directly on CPU shapes."""
     from openimpala_tpu.solve import warmup
 
+    # "auto" resolves to gmg -> the ABSTRACT path (ShapeDtypeStruct priming,
+    # no dummy device data); "jacobi" takes the eager dummy-volume fallback
     warmup._warm((16, 8, 8), 0, -1.0, 1.0, (1.0, 1.0, 1.0), "float32",
                  None, None, "auto", None, "cg", jnp.float32, jnp.float64,
+                 1e-9)
+    warmup._warm((16, 8, 8), 0, -1.0, 1.0, (1.0, 1.0, 1.0), "float32",
+                 None, None, "jacobi", None, "cg", jnp.float32, jnp.float64,
                  1e-9)
     # the public gate declines on this host (CPU backend)
     assert warmup.maybe_start((256, 256, 256), 0, -1.0, 1.0, (1.0, 1.0, 1.0),
