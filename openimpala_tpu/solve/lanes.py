@@ -265,8 +265,10 @@ def solve_system_lanes(
         lsys = lsys.astype(inner_dtype)
     with phase_timer("solve/hierarchy_build"):
         M_lo = make_precond(lsys.base(), precond, precond_opts)
-    denom = jnp.maximum(lsys.b_norm.astype(outer_dtype), 0.0)
-    denom = jnp.where(denom > 0, denom, 1.0)
+    # host vector: the denominators' only consumers are host-side rel
+    # computations (refine.py does the same with its scalar)
+    denom = np.maximum(np.asarray(lsys.b_norm, np.float64), 0.0)
+    denom = np.where(denom > 0, denom, 1.0)
 
     z_total = jnp.zeros((L,) + lsys.r0_b.shape[1:], outer_dtype)
     total_iters = jnp.zeros((L,), jnp.int32)
@@ -281,17 +283,14 @@ def solve_system_lanes(
             # f32-floor guard as the mono path, solve/refine.py)
             lo_first = round_i == 0
             if lo_first:
-                r_hi = lsys.initial_residual(z_total.astype(inner_dtype))
-                scale = jnp.sqrt(_lane_dot(
-                    r_hi.astype(jnp.float32),
-                    r_hi.astype(jnp.float32)).astype(jnp.float64))
-                rel = np.asarray(scale) / np.asarray(denom)
+                r_hi, scale = _round0_estimate_lanes(lsys, z_total)
+                rel = np.asarray(scale) / denom
                 if (rel < 1e-3).any():
                     lo_first = False
             if not lo_first:
                 r_hi, scale = _outer_residual_lanes(
                     lsys, z_total, jnp.dtype(outer_dtype).name)
-                rel = np.asarray(scale) / np.asarray(denom)
+                rel = np.asarray(scale) / denom
         stale = False
         if verbose >= 2:
             rels = ", ".join(f"{v:.3e}" for v in rel)
@@ -303,11 +302,10 @@ def solve_system_lanes(
         if budget <= 0:
             break
         prev_rel = rel
-        lane_live = jnp.asarray(~(rel <= eps), r_hi.dtype)
-        r_lo = (r_hi / _bcast(jnp.where(scale > 0, scale, 1.0), r_hi.ndim)
-                .astype(r_hi.dtype)).astype(inner_dtype)
         # converged lanes ride along as zero systems (alpha pins to 0)
-        r_lo = r_lo * _bcast(lane_live.astype(r_lo.dtype), r_lo.ndim)
+        r_lo = _scale_inner_rhs_lanes(r_hi, scale,
+                                      np.asarray(~(rel <= eps)),
+                                      jnp.dtype(inner_dtype).name)
         worst = float(rel.max())
         need = float(eps / worst) * 0.3 if worst > 0 else inner_eps
         round_eps = min(max(inner_eps, need), 0.099)
@@ -315,8 +313,7 @@ def solve_system_lanes(
             inner = cg_lanes(lsys, r_lo, jnp.ones((L,), inner_dtype),
                              round_eps, min(budget, int(inner_round_cap)),
                              M_lo, verbose=verbose)
-            z_total = z_total + (_bcast(scale, z_total.ndim)
-                                 * inner.z.astype(outer_dtype))
+            z_total = _accumulate_lanes(z_total, scale, inner.z)
             total_iters = total_iters + inner.iterations
             budget -= int(np.asarray(inner.iterations).max())
         stale = True
@@ -324,8 +321,8 @@ def solve_system_lanes(
     if stale:
         r_hi, scale = _outer_residual_lanes(lsys, z_total,
                                             jnp.dtype(outer_dtype).name)
-        rel = np.asarray(scale) / np.asarray(denom)
-    x_full = lsys.astype(outer_dtype).assemble_solution(z_total)
+        rel = np.asarray(scale) / denom
+    x_full = _assemble_hi_lanes(lsys, z_total, jnp.dtype(outer_dtype).name)
     rel_v = jnp.asarray(rel, outer_dtype)
     info = SolveResult(z=z_total, iterations=total_iters, rel_res=rel_v,
                        converged=rel_v <= eps)
@@ -339,6 +336,38 @@ def _outer_residual_lanes(lsys, x_outer, outer_dtype):
     sys_hi = lsys.astype(outer_dtype)
     rs = sys_hi.initial_residual(x_outer)
     return rs, jnp.sqrt(_lane_dot(rs, rs))
+
+
+# Jitted glue steps, lane-wise mirrors of refine.py's `_round0_estimate` /
+# `_scale_inner_rhs` / `_accumulate` / `_assemble_hi` — same rationale: each
+# eager op chain is its own tunnel-loaded micro-program; as named jits they
+# are AOT-primable (solve/warmup.py) and one dispatch each.
+
+@jax.jit
+def _round0_estimate_lanes(lsys, z_total):
+    r_hi = lsys.initial_residual(z_total.astype(lsys.r0_b.dtype))
+    r32 = r_hi.astype(jnp.float32)
+    scale = jnp.sqrt(_lane_dot(r32, r32).astype(jnp.float64))
+    return r_hi, scale
+
+
+@partial(jax.jit, static_argnames=("inner_name",))
+def _scale_inner_rhs_lanes(r_hi, scale, live, inner_name):
+    """Per-lane normalized inner RHS; converged lanes are zeroed so they
+    ride along as zero systems (alpha pins to 0)."""
+    r_lo = (r_hi / _bcast(jnp.where(scale > 0, scale, 1.0), r_hi.ndim)
+            .astype(r_hi.dtype)).astype(inner_name)
+    return r_lo * _bcast(live.astype(r_lo.dtype), r_lo.ndim)
+
+
+@jax.jit
+def _accumulate_lanes(z_total, scale, z):
+    return z_total + _bcast(scale, z_total.ndim) * z.astype(z_total.dtype)
+
+
+@partial(jax.jit, static_argnames=("outer_name",))
+def _assemble_hi_lanes(lsys, z_total, outer_name):
+    return lsys.astype(outer_name).assemble_solution(z_total)
 
 
 def use_lanes(cells: int, lanes: int, method: str = "cg",

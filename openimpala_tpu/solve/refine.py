@@ -57,6 +57,46 @@ def _outer_residual(system, x_outer, outer_dtype):
     return r, jnp.sqrt(jnp.sum(r * r))
 
 
+# The refinement loop's glue steps are module-level jitted programs rather
+# than eager op chains: each eager jnp op compiles (and, over the tunnelled
+# TPU runtime, LOADS) its own micro-executable, and those loads — not the
+# arithmetic — dominated the first solve of a process (measured 512^3:
+# ~1.3 s of unprimed programs in solve_k0 after all the big programs were
+# warm, scripts/deffprof.py).  As named jit functions they are AOT-primable
+# from ShapeDtypeStructs in solve/warmup.py and fuse into one dispatch each.
+
+@jax.jit
+def _round0_estimate(system, z_total):
+    """Round-0 residual in the Krylov (storage) dtype + its f64 norm, one
+    program.  The first residual is O(1e-1) relative — far above the f32
+    noise floor — so the f64 stencil pass is skipped (VERDICT r3 item 3);
+    the caller re-measures in f64 if the estimate lands near the floor."""
+    r_hi = system.initial_residual(z_total.astype(system.r0_b.dtype))
+    scale = jnp.sqrt(jnp.sum(
+        r_hi.astype(jnp.float32) ** 2).astype(jnp.float64))
+    return r_hi, scale
+
+
+@partial(jax.jit, static_argnames=("inner_name",))
+def _scale_inner_rhs(r_hi, scale, inner_name):
+    """Normalized inner-round RHS: (r / ||r||) cast to the Krylov dtype."""
+    return (r_hi / jnp.where(scale > 0, scale, 1.0)
+            .astype(r_hi.dtype)).astype(inner_name)
+
+
+@jax.jit
+def _accumulate(z_total, scale, z):
+    """High-precision accumulation z_total += scale * z (one program)."""
+    return z_total + scale * z.astype(z_total.dtype)
+
+
+@partial(jax.jit, static_argnames=("outer_name",))
+def _assemble_hi(system, z_total, outer_name):
+    """x_forced + free-masked z with the upcast fused (never materialises a
+    high-precision x_forced volume)."""
+    return system.astype(outer_name).assemble_solution(z_total)
+
+
 def make_precond(sys_, precond, opts=None, method: str = "cg"):
     opts = opts or {}
     if precond == "auto":
@@ -136,8 +176,11 @@ def solve_system(
         system = system.astype(inner_dtype)
     with phase_timer("solve/hierarchy_build"):
         M_lo = make_precond(system, precond, precond_opts, method)
-    denom = jnp.maximum(system.b_norm.astype(outer_dtype), 0.0)
-    denom = jnp.where(denom > 0, denom, 1.0)
+    # host float: the denominator's only consumers are host-side rel
+    # computations — a device max/where pair would be two more tiny
+    # programs plus a fetch
+    bn = float(system.b_norm)
+    denom = bn if bn > 0 else 1.0
 
     # fold the initial guess into the accumulator: one persistent f64 volume
     # instead of two (1 GiB saved at 512^3)
@@ -160,16 +203,14 @@ def solve_system(
             # f32 floor, re-measure in f64.
             lo_first = round_i == 0
             if lo_first:
-                r_hi = system.initial_residual(z_total.astype(inner_dtype))
-                scale = jnp.sqrt(jnp.sum(
-                    r_hi.astype(jnp.float32) ** 2).astype(jnp.float64))
-                rel = float(scale) / float(denom)
+                r_hi, scale = _round0_estimate(system, z_total)
+                rel = float(scale) / denom
                 if rel < 1e-3:  # too close to the f32 floor to trust
                     lo_first = False
             if not lo_first:
                 r_hi, scale = _outer_residual(system, z_total,
                                               jnp.dtype(outer_dtype).name)
-                rel = float(scale) / float(denom)
+                rel = float(scale) / denom
         stale = False
         if verbose >= 2:
             print(f"  refine round: outer rel_res={float(rel):.6e}")
@@ -180,8 +221,7 @@ def solve_system(
         if budget <= 0:
             break
         prev_rel = rel
-        r_lo = (r_hi / jnp.where(scale > 0, scale, 1.0)
-                .astype(r_hi.dtype)).astype(inner_dtype)
+        r_lo = _scale_inner_rhs(r_hi, scale, jnp.dtype(inner_dtype).name)
         # cap each round: float32 Krylov can stall just above inner_eps and
         # must not eat the whole budget — the refinement loop compounds the
         # per-round reduction regardless.  The round's tolerance is also
@@ -196,7 +236,7 @@ def solve_system(
                             jnp.asarray(1.0, inner_dtype),
                             round_eps, min(budget, int(inner_round_cap)),
                             M_lo, refined=True, verbose=verbose)
-            z_total = z_total + scale * inner.z.astype(outer_dtype)
+            z_total = _accumulate(z_total, scale, inner.z)
             total_iters = total_iters + inner.iterations
             budget -= int(inner.iterations)
         stale = True
@@ -207,8 +247,8 @@ def solve_system(
         # r3 item 3: the unconditional re-measure wasted an f64 stencil
         # apply + norm + fetch per solve)
         r_hi, scale = _outer_residual(system, z_total, jnp.dtype(outer_dtype).name)
-        rel = scale / denom
-    x_full = system.astype(outer_dtype).assemble_solution(z_total)
+        rel = float(scale) / denom
+    x_full = _assemble_hi(system, z_total, jnp.dtype(outer_dtype).name)
     info = SolveResult(
         z=z_total,
         iterations=total_iters,

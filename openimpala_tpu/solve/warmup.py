@@ -108,6 +108,36 @@ def _warm(shape, direction, vlo, vhi, dx, storage_name, hi_plane, mesh,
                 if abstract else x0.astype(outer_dtype))
         _outer_residual.lower(system, x_hi,
                               jnp.dtype(outer_dtype).name).compile()
+        if abstract:
+            _prime_refine_glue(system, tuple(x0.shape), inner_dtype,
+                               outer_dtype)
+
+
+def _prime_refine_glue(system, shape, inner_dtype, outer_dtype):
+    """AOT-prime the refinement loop's jitted glue programs (refine.py
+    `_round0_estimate` / `_scale_inner_rhs` / `_accumulate` / `_assemble_hi`)
+    from ShapeDtypeStructs — ~1.3 s of first-solve tunnel loads otherwise
+    (measured 512^3, scripts/deffprof.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .refine import (_accumulate, _assemble_hi, _round0_estimate,
+                         _scale_inner_rhs)
+
+    inner = jnp.dtype(inner_dtype)
+    outer = jnp.dtype(outer_dtype)
+    vol_hi = jax.ShapeDtypeStruct(shape, outer)
+    vol_lo = jax.ShapeDtypeStruct(shape, inner)
+    s64 = jax.ShapeDtypeStruct((), jnp.float64)
+    _round0_estimate.lower(system, vol_hi).compile()
+    # round 0 scales an inner-dtype residual; later rounds an outer-dtype one
+    _scale_inner_rhs.lower(vol_lo, s64, inner.name).compile()
+    _scale_inner_rhs.lower(vol_hi, jax.ShapeDtypeStruct((), outer),
+                           inner.name).compile()
+    _accumulate.lower(vol_hi, s64, vol_lo).compile()
+    _accumulate.lower(vol_hi, jax.ShapeDtypeStruct((), outer),
+                      vol_lo).compile()
+    _assemble_hi.lower(system, vol_hi, outer.name).compile()
 
 
 def _warm_cell(ones, dx, storage_name, mesh, precond, precond_opts, method,
@@ -188,10 +218,31 @@ def _warm_cell(ones, dx, storage_name, mesh, precond, precond_opts, method,
                                      jnp.dtype(outer_dtype))
             _outer_residual_lanes.lower(
                 lsys, x, jnp.dtype(outer_dtype).name).compile()
+            if abstract:
+                from .lanes import (_accumulate_lanes, _assemble_hi_lanes,
+                                    _round0_estimate_lanes,
+                                    _scale_inner_rhs_lanes)
+
+                inner = jnp.dtype(inner_dtype)
+                outer = jnp.dtype(outer_dtype)
+                lvol_lo = jax.ShapeDtypeStruct((L,) + tuple(shape), inner)
+                lvec64 = jax.ShapeDtypeStruct((L,), jnp.float64)
+                lbool = jax.ShapeDtypeStruct((L,), jnp.bool_)
+                _round0_estimate_lanes.lower(lsys, x).compile()
+                _scale_inner_rhs_lanes.lower(lvol_lo, lvec64, lbool,
+                                             inner.name).compile()
+                _scale_inner_rhs_lanes.lower(
+                    x, jax.ShapeDtypeStruct((L,), outer), lbool,
+                    inner.name).compile()
+                _accumulate_lanes.lower(x, lvec64, lvol_lo).compile()
+                _accumulate_lanes.lower(
+                    x, jax.ShapeDtypeStruct((L,), outer), lvol_lo).compile()
+                _assemble_hi_lanes.lower(lsys, x, outer.name).compile()
         return
     if abstract:
-        _build_cell_system.lower(active, 0, tuple(dx),
-                                 storage_name).compile()
+        for k in range(3):
+            _build_cell_system.lower(active, k, tuple(dx),
+                                     storage_name).compile()
         system, x0 = jax.eval_shape(
             partial(_build_cell_system, k=0, dx=tuple(dx),
                     storage=storage_name), active)
@@ -227,6 +278,9 @@ def _warm_cell(ones, dx, storage_name, mesh, precond, precond_opts, method,
                 if abstract else x0.astype(outer_dtype))
         _outer_residual.lower(system, x_hi,
                               jnp.dtype(outer_dtype).name).compile()
+        if abstract:
+            _prime_refine_glue(system, tuple(x0.shape), inner_dtype,
+                               outer_dtype)
 
 
 class SolverWarmup:
