@@ -68,15 +68,21 @@ def upload_mask(mask, mesh=None):
     return _unpack(packed_j)
 
 
-def _unpack(packed_j):
-    """Device-side MSB-first bit unpack, shared by both upload entry
-    points (lazily jitted once per process)."""
+def _unpack_jit():
+    """The lazily-jitted unpack program (also AOT-primed by the solver
+    warm-up thread, solve/warmup.py)."""
     import jax
 
     global _unpack_bits
     if _unpack_bits is None:
         _unpack_bits = jax.jit(_unpack_bits_impl)
-    return _unpack_bits(packed_j)
+    return _unpack_bits
+
+
+def _unpack(packed_j):
+    """Device-side MSB-first bit unpack, shared by both upload entry
+    points (lazily jitted once per process)."""
+    return _unpack_jit()(packed_j)
 
 
 def upload_phase_mask(phase: np.ndarray, phase_id: int):

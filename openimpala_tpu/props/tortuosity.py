@@ -252,6 +252,12 @@ def tortuosity(
                 device_percolation=device_perc,
             )
 
+        if warm is not None and device_perc:
+            # the warm-up thread primes the fill program first (and sets
+            # fill_ready even on failure) — never compile the same program
+            # from two threads; over the tunnel a duplicate compile costs
+            # seconds of wire time (solve/warmup.py)
+            warm.wait_fill()
         with phase_timer("tortuosity/percolation_mask"):
             active, active_vf = percolation_mask(
                 phase, phase_id, direction, method=percolation_method

@@ -29,12 +29,39 @@ import threading
 
 def _warm(shape, direction, vlo, vhi, dx, storage_name, hi_plane, mesh,
           precond, precond_opts, method, inner_dtype, outer_dtype, eps,
-          problem="flow"):
+          problem="flow", device_percolation=False, fill_ready=None):
     import jax
     import jax.numpy as jnp
 
     from ..props.tortuosity import _build_system
     from .refine import make_precond, _outer_residual
+
+    # Percolation-fill prime FIRST: the fused packed fill
+    # (ops/packfill.py) is the first device program the main thread
+    # dispatches, and its ~1 MB executable load is most of the percolation
+    # wall beyond the 0.5 s fill itself — priming it here moves that load
+    # into the read/threshold window when the CLI starts the warm-up at
+    # reader-metadata time.  ``fill_ready`` gates the main thread's fill
+    # dispatch (props/tortuosity.py) so the same program is never compiled
+    # from two threads; it is set even on failure so the main thread can
+    # proceed and compile on demand.
+    if device_percolation and mesh is None and problem == "flow":
+        try:
+            from ..ops.packfill import percolation_oneshot_packed
+
+            ok = jax.ShapeDtypeStruct(tuple(shape), jnp.bool_)
+            percolation_oneshot_packed.lower(ok, direction).compile()
+            if shape[-1] % 8 == 0:
+                from ..ops.masks import _unpack_jit
+
+                packed = jax.ShapeDtypeStruct(
+                    (shape[0], shape[1], shape[2] // 8), jnp.uint8)
+                _unpack_jit().lower(packed).compile()
+        finally:
+            if fill_ready is not None:
+                fill_ready.set()
+    elif fill_ready is not None:
+        fill_ready.set()
 
     # ABSTRACT warm-up (default): every program the solve will hit is
     # AOT-primed from ShapeDtypeStructs — lower().compile() shares the
@@ -287,6 +314,7 @@ class SolverWarmup:
     """Best-effort background prime of the solve-path programs."""
 
     def __init__(self, *args):
+        self.fill_ready = threading.Event()
         self._thread = threading.Thread(
             target=self._run, args=args, daemon=True, name="oi-solver-warmup"
         )
@@ -294,9 +322,17 @@ class SolverWarmup:
 
     def _run(self, *args):
         try:
-            _warm(*args)
+            _warm(*args, fill_ready=self.fill_ready)
         except Exception:
             pass  # warm-up is opportunistic; the real solve compiles on demand
+        finally:
+            self.fill_ready.set()
+
+    def wait_fill(self, timeout: float = 600.0):
+        """Block until the percolation-fill programs are primed (set early
+        by ``_warm``, and unconditionally when the thread exits) — the main
+        thread must not compile the fill program concurrently."""
+        self.fill_ready.wait(timeout)
 
     def join(self, timeout: float = 600.0):
         self._thread.join(timeout)
@@ -332,4 +368,4 @@ def maybe_start(shape, direction, vlo, vhi, dx, storage_name, hi_plane, mesh,
     return SolverWarmup(shape, direction, float(vlo), float(vhi), tuple(dx),
                         storage_name, hi_plane, mesh, precond, precond_opts,
                         method, inner_dtype, outer_dtype, float(eps),
-                        problem)
+                        problem, device_percolation)
