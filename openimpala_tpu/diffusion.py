@@ -103,7 +103,6 @@ def main(argv=None) -> int:
     # program compile/load overlaps the voxel read + threshold
     # (props.tortuosity.prime_solver; best-effort, None off-TPU)
     warm0 = None
-    warm0_dir = None
     if (not cfg.rev_do_study
             and os.environ.get("OPENIMPALA_NO_EARLY_WARM") != "1"):
         try:
@@ -112,12 +111,15 @@ def main(argv=None) -> int:
             if min(dims) > 0 and cfg.calculation_method == "flow_through":
                 from .props.tortuosity import prime_solver
 
-                warm0_dir = parse_directions(cfg.direction)[0]
+                dirs = parse_directions(cfg.direction)
+                # later directions' direction-static executables (fill +
+                # system build) are primed after the first solve's program
+                # set, overlapping their load with its iterations
                 warm0 = prime_solver(
-                    dims, warm0_dir, vlo=cfg.tortuosity_vlo,
+                    dims, dirs[0], vlo=cfg.tortuosity_vlo,
                     vhi=cfg.tortuosity_vhi, method=method,
                     precond=cfg.precond, inner_dtype=inner_dtype,
-                    eps=cfg.eps)
+                    eps=cfg.eps, extra_dirs=dirs[1:])
             elif min(dims) > 0 and cfg.calculation_method == "homogenization":
                 from .props.effective_diffusivity import prime_cell_solver
 
@@ -217,7 +219,11 @@ def main(argv=None) -> int:
                 inner_dtype=inner_dtype, verbose=cfg.verbose,
                 return_fields=cfg.write_plotfile or cfg.debug_write_active_mask,
                 original_shape=orig_shape,
-                warm=warm0 if d == warm0_dir else None,
+                # ONE shared handle: warm0 registered every direction via
+                # extra_dirs, so later directions reuse it (wait_fill(d) +
+                # join are per-direction/idempotent) instead of spinning a
+                # fresh warm-up thread whose primes serialize with the solve
+                warm=warm0,
             )
             results[f"Tortuosity_{name}"] = r.value
             print(f"  >>> Calculated Tortuosity ({name}): {r.value:.8f} <<<")

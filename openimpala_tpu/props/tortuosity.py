@@ -76,7 +76,7 @@ def prime_solver(shape, direction, *, vlo: float = -1.0, vhi: float = 1.0,
                  precond: str = "auto", precond_opts: dict = None,
                  inner_dtype=jnp.float32, dtype=jnp.float64,
                  eps: float = 1e-9, mesh="auto",
-                 percolation_method: str = "auto"):
+                 percolation_method: str = "auto", extra_dirs=()):
     """Start the background solver warm-up for a flow-through solve of
     ``shape`` along ``direction`` BEFORE the voxel data exists — the CLI
     calls this at reader-METADATA time so solver program compile/load
@@ -84,6 +84,12 @@ def prime_solver(shape, direction, *, vlo: float = -1.0, vhi: float = 1.0,
     dtypes and static options; solve/warmup.py).  Returns a handle to pass
     as ``tortuosity(..., warm=handle)``, or None when warming cannot pay
     (non-TPU backend, small volume, 1-core host with a host-side fill).
+
+    ``extra_dirs``: further directions the caller will solve after the
+    first (CLI ``direction = All``).  Their direction-static executables
+    (packed fill + system build) are primed AFTER everything the first
+    solve needs, overlapping their tunnel load with the first direction's
+    iterations; pass the SAME handle to every ``tortuosity`` call.
 
     The reference has no counterpart: Hypre setup runs inline after the
     flood fill (``TortuosityHypre.cpp:208-649``).
@@ -112,6 +118,7 @@ def prime_solver(shape, direction, *, vlo: float = -1.0, vhi: float = 1.0,
         jnp.dtype(storage).name, hi_plane, mesh, precond, precond_opts,
         method, inner_dtype, dtype, float(eps),
         device_percolation=device_perc,
+        extra_dirs=tuple(parse_direction(d) for d in extra_dirs),
     )
 
 
@@ -254,10 +261,10 @@ def tortuosity(
 
         if warm is not None and device_perc:
             # the warm-up thread primes the fill program first (and sets
-            # fill_ready even on failure) — never compile the same program
+            # its event even on failure) — never compile the same program
             # from two threads; over the tunnel a duplicate compile costs
             # seconds of wire time (solve/warmup.py)
-            warm.wait_fill()
+            warm.wait_fill(direction)
         with phase_timer("tortuosity/percolation_mask"):
             active, active_vf = percolation_mask(
                 phase, phase_id, direction, method=percolation_method

@@ -29,28 +29,36 @@ import threading
 
 def _warm(shape, direction, vlo, vhi, dx, storage_name, hi_plane, mesh,
           precond, precond_opts, method, inner_dtype, outer_dtype, eps,
-          problem="flow", device_percolation=False, fill_ready=None):
+          problem="flow", device_percolation=False, extra_dirs=(),
+          fill_events=None, main_ready=None):
     import jax
     import jax.numpy as jnp
 
     from ..props.tortuosity import _build_system
     from .refine import make_precond, _outer_residual
 
+    def _mark_fill(d):
+        if fill_events is not None and d in fill_events:
+            fill_events[d].set()
+
+    def _prime_fill(d):
+        from ..ops.packfill import percolation_oneshot_packed
+
+        ok = jax.ShapeDtypeStruct(tuple(shape), jnp.bool_)
+        percolation_oneshot_packed.lower(ok, d).compile()
+
     # Percolation-fill prime FIRST: the fused packed fill
     # (ops/packfill.py) is the first device program the main thread
     # dispatches, and its ~1 MB executable load is most of the percolation
     # wall beyond the 0.5 s fill itself — priming it here moves that load
     # into the read/threshold window when the CLI starts the warm-up at
-    # reader-metadata time.  ``fill_ready`` gates the main thread's fill
-    # dispatch (props/tortuosity.py) so the same program is never compiled
-    # from two threads; it is set even on failure so the main thread can
-    # proceed and compile on demand.
+    # reader-metadata time.  The per-direction ``fill_events`` gate the
+    # main thread's fill dispatch (props/tortuosity.py) so the same program
+    # is never compiled from two threads; each is set even on failure so
+    # the main thread can proceed and compile on demand.
     if device_percolation and mesh is None and problem == "flow":
         try:
-            from ..ops.packfill import percolation_oneshot_packed
-
-            ok = jax.ShapeDtypeStruct(tuple(shape), jnp.bool_)
-            percolation_oneshot_packed.lower(ok, direction).compile()
+            _prime_fill(direction)
             if shape[-1] % 8 == 0:
                 from ..ops.masks import _unpack_jit
 
@@ -58,10 +66,9 @@ def _warm(shape, direction, vlo, vhi, dx, storage_name, hi_plane, mesh,
                     (shape[0], shape[1], shape[2] // 8), jnp.uint8)
                 _unpack_jit().lower(packed).compile()
         finally:
-            if fill_ready is not None:
-                fill_ready.set()
-    elif fill_ready is not None:
-        fill_ready.set()
+            _mark_fill(direction)
+    else:
+        _mark_fill(direction)
 
     # ABSTRACT warm-up (default): every program the solve will hit is
     # AOT-primed from ShapeDtypeStructs — lower().compile() shares the
@@ -138,6 +145,28 @@ def _warm(shape, direction, vlo, vhi, dx, storage_name, hi_plane, mesh,
         if abstract:
             _prime_refine_glue(system, tuple(x0.shape), inner_dtype,
                                outer_dtype)
+
+    # Everything the FIRST direction's solve needs is primed; release
+    # join() now so later-direction primes below never sit on its
+    # critical path.
+    if main_ready is not None:
+        main_ready.set()
+
+    # Later-direction primes (CLI ``direction = All``): the packed fill
+    # and the system build are the only direction-STATIC executables — the
+    # chunked-CG / residual / refine programs key on shapes only and are
+    # shared.  Priming them here overlaps their tunnel load with the first
+    # direction's solve instead of serializing at the head of each later
+    # direction (props/tortuosity.py waits on the per-direction event
+    # before dispatching that direction's fill).
+    for d in extra_dirs:
+        try:
+            _build_system.lower(ones, d, vlo, vhi, dx, storage_name,
+                                None).compile()
+            if device_percolation and mesh is None:
+                _prime_fill(d)
+        finally:
+            _mark_fill(d)
 
 
 def _prime_refine_glue(system, shape, inner_dtype, outer_dtype):
@@ -314,7 +343,12 @@ class SolverWarmup:
     """Best-effort background prime of the solve-path programs."""
 
     def __init__(self, *args):
-        self.fill_ready = threading.Event()
+        # args mirror _warm's positional signature (maybe_start builds the
+        # tuple): args[1] is the primary direction, args[-1] extra_dirs
+        self._primary = args[1]
+        self.fill_events = {d: threading.Event()
+                            for d in (args[1], *args[-1])}
+        self.main_ready = threading.Event()
         self._thread = threading.Thread(
             target=self._run, args=args, daemon=True, name="oi-solver-warmup"
         )
@@ -322,26 +356,40 @@ class SolverWarmup:
 
     def _run(self, *args):
         try:
-            _warm(*args, fill_ready=self.fill_ready)
+            _warm(*args, fill_events=self.fill_events,
+                  main_ready=self.main_ready)
         except Exception:
             pass  # warm-up is opportunistic; the real solve compiles on demand
         finally:
-            self.fill_ready.set()
+            self.main_ready.set()
+            for ev in self.fill_events.values():
+                ev.set()
 
-    def wait_fill(self, timeout: float = 600.0):
-        """Block until the percolation-fill programs are primed (set early
-        by ``_warm``, and unconditionally when the thread exits) — the main
-        thread must not compile the fill program concurrently."""
-        self.fill_ready.wait(timeout)
+    def wait_fill(self, direction=None, timeout: float = 600.0):
+        """Block until ``direction``'s percolation-fill programs are primed
+        (set early by ``_warm``, and unconditionally when the thread exits)
+        — the main thread must not compile the same fill program
+        concurrently.  A direction the thread never registered returns
+        immediately (the caller compiles on demand; disjoint programs)."""
+        ev = self.fill_events.get(
+            self._primary if direction is None else direction)
+        if ev is not None:
+            ev.wait(timeout)
 
     def join(self, timeout: float = 600.0):
-        self._thread.join(timeout)
+        """Wait until every program the NEXT solve dispatches is primed.
+        After ``main_ready`` the thread only loads later-direction
+        fill/build executables — disjoint from the running solve, safe to
+        overlap (same one-compile-one-program invariant as wait_fill)."""
+        if not self.main_ready.wait(timeout):
+            self._thread.join(timeout)
 
 
 def maybe_start(shape, direction, vlo, vhi, dx, storage_name, hi_plane, mesh,
                 precond, precond_opts, method, inner_dtype, outer_dtype,
                 eps, device_percolation: bool = False,
-                problem: str = "flow") -> SolverWarmup | None:
+                problem: str = "flow",
+                extra_dirs: tuple = ()) -> SolverWarmup | None:
     """Start the warm-up thread when it can plausibly pay for itself: TPU
     backend, a volume large enough that program load dominates (the
     percolation fill it overlaps with also scales with volume), and a host
@@ -368,4 +416,5 @@ def maybe_start(shape, direction, vlo, vhi, dx, storage_name, hi_plane, mesh,
     return SolverWarmup(shape, direction, float(vlo), float(vhi), tuple(dx),
                         storage_name, hi_plane, mesh, precond, precond_opts,
                         method, inner_dtype, outer_dtype, float(eps),
-                        problem, device_percolation)
+                        problem, device_percolation,
+                        tuple(d for d in extra_dirs if d != direction))

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 import openimpala_tpu  # noqa: F401
-from openimpala_tpu.props.tortuosity import tortuosity
+from openimpala_tpu.props.tortuosity import prime_solver, tortuosity
 
 
 def log(*a):
@@ -42,11 +42,23 @@ phase = np.asarray((field < thr).astype(np.int8))
 del field
 
 t_all = time.time()
+# ONE shared warm handle for all three directions (mirrors the CLI,
+# diffusion.py): later directions' fill/build executables load during the
+# first direction's iterations
+warm = prime_solver((N,) * 3, 0, eps=1e-9, precond="auto",
+                    inner_dtype=jnp.float32, percolation_method=PERC,
+                    extra_dirs=(1, 2))
 for d in range(3):
     t0 = time.time()
     r = tortuosity(phase, 1, d, eps=1e-9, precond="auto",
-                   inner_dtype=jnp.float32, percolation_method=PERC)
+                   inner_dtype=jnp.float32, percolation_method=PERC,
+                   warm=warm)
     log(f"dir {'XYZ'[d]}: {time.time()-t0:.2f}s  tau={r.value:.6f}  "
         f"iters={r.iterations}  conv={r.converged}  "
         f"flux_ok={r.flux_conserved}")
+    if os.environ.get("OPENIMPALA_PROFILE") == "1":
+        from openimpala_tpu.utils import profiling
+
+        log("\n" + profiling.report())
+        profiling.reset()
 log(f"All (3 directions): {time.time()-t_all:.1f}s")

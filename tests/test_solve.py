@@ -257,6 +257,38 @@ def test_warmup_internals_run_on_cpu():
                               jnp.float32, jnp.float64, 1e-9) is None
 
 
+def test_warmup_extra_dirs_event_protocol():
+    """direction=All warm-up: the thread primes the first direction's fill
+    first, releases main_ready after the solver programs, then primes the
+    later directions' direction-static executables — every per-direction
+    event and main_ready must end set (they gate the CLI's fill dispatch
+    and system build, props/tortuosity.py)."""
+    import threading
+
+    from openimpala_tpu.solve import warmup
+
+    fe = {d: threading.Event() for d in (0, 1, 2)}
+    mr = threading.Event()
+    warmup._warm((16, 8, 8), 0, -1.0, 1.0, (1.0, 1.0, 1.0), "float32",
+                 None, None, "auto", None, "cg", jnp.float32, jnp.float64,
+                 1e-9, "flow", True, (1, 2), fill_events=fe, main_ready=mr)
+    assert mr.is_set()
+    assert all(ev.is_set() for ev in fe.values())
+
+    # the threaded wrapper: same protocol end to end, plus wait_fill on an
+    # unregistered direction returning immediately
+    w = warmup.SolverWarmup((16, 8, 8), 0, -1.0, 1.0, (1.0, 1.0, 1.0),
+                            "float32", None, None, "auto", None, "cg",
+                            jnp.float32, jnp.float64, 1e-9, "flow", True,
+                            (1, 2))
+    w.wait_fill(2)
+    w.wait_fill()          # primary
+    w.wait_fill(direction=99)  # unregistered: no event, returns at once
+    w.join()
+    assert w.main_ready.is_set()
+    assert all(ev.is_set() for ev in w.fill_events.values())
+
+
 def test_fgmres_f32_plateau_breaks(problem):
     """An f32 FGMRES asked for an unreachable tolerance must end at the
     Gram-Schmidt noise floor (two no-progress cycles), not spin to maxiter
