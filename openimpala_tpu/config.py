@@ -115,6 +115,13 @@ class DiffusionConfig:
     raw_height: int = 0
     raw_depth: int = 0
     raw_datatype: str = "UINT8"
+    # per-axis voxel spacing (new surface; the reference CLI pins a unit
+    # RealBox, Diffusion.cpp:302-305, but its kernels are dx-generic via
+    # geom.CellSize() — imaging stacks routinely have Z spacing != XY).
+    # One value = isotropic; three = (dx, dy, dz).  Anisotropic spacing
+    # runs the same fused kernels via the per-axis packed geometry
+    # (ops/stencil.py module comment).
+    voxel_size: tuple = (1.0, 1.0, 1.0)
     # debug block (TortuosityHypre.cpp:543-544)
     debug_write_active_mask: bool = False
     # TPU-native solver knobs (new surface)
@@ -163,6 +170,13 @@ class DiffusionConfig:
         c.raw_height = pp.query("raw.height", pp.query("raw_height", c.raw_height, int), int)
         c.raw_depth = pp.query("raw.depth", pp.query("raw_depth", c.raw_depth, int), int)
         c.raw_datatype = pp.query("raw.datatype", pp.query("raw_datatype", c.raw_datatype))
+        vs = pp.query_list("voxel_size", c.voxel_size, float)
+        if len(vs) == 1:
+            vs = vs * 3
+        if len(vs) != 3 or any(v <= 0 for v in vs):
+            raise ValueError(
+                f"voxel_size takes 1 or 3 positive values, got {vs}")
+        c.voxel_size = tuple(vs)
         c.debug_write_active_mask = pp.query(
             "debug.write_active_mask", c.debug_write_active_mask, bool
         )

@@ -119,13 +119,14 @@ def main(argv=None) -> int:
                     dims, dirs[0], vlo=cfg.tortuosity_vlo,
                     vhi=cfg.tortuosity_vhi, method=method,
                     precond=cfg.precond, inner_dtype=inner_dtype,
-                    eps=cfg.eps, extra_dirs=dirs[1:])
+                    eps=cfg.eps, dx=cfg.voxel_size, extra_dirs=dirs[1:])
             elif min(dims) > 0 and cfg.calculation_method == "homogenization":
                 from .props.effective_diffusivity import prime_cell_solver
 
                 warm0 = prime_cell_solver(
                     dims, method=method, precond=cfg.precond,
-                    inner_dtype=inner_dtype, eps=cfg.eps)
+                    inner_dtype=inner_dtype, eps=cfg.eps,
+                    dx=cfg.voxel_size)
         except Exception:
             warm0 = None
     # homogenization without a REV study never needs the host copy: ingest
@@ -162,6 +163,7 @@ def main(argv=None) -> int:
             eps=cfg.eps, maxiter=cfg.krylov_maxiter,
             method=resolve_solver(cfg.rev_solver_type), precond=cfg.precond,
             csv_path=csv_path, verbose=cfg.rev_verbose, inner_dtype=inner_dtype,
+            dx=cfg.voxel_size,
             batch=(cfg.rev_batch if cfg.rev_batch == "auto"
                    else cfg.rev_batch in ("true", "1", "yes", "on")),
             plotfile_dir=(os.path.join(cfg.results_path, "rev_plotfiles")
@@ -175,7 +177,7 @@ def main(argv=None) -> int:
             phase, cfg.phase_id, eps=cfg.eps, maxiter=cfg.krylov_maxiter,
             method=method, precond=cfg.precond, inner_dtype=inner_dtype,
             verbose=cfg.verbose, return_fields=cfg.write_plotfile,
-            warm=warm0,
+            dx=cfg.voxel_size, warm=warm0,
         )
         if res.converged:
             print("Full Domain Effective Diffusivity Tensor D_eff / D_material:")
@@ -216,6 +218,7 @@ def main(argv=None) -> int:
                 vhi=cfg.tortuosity_vhi, eps=cfg.eps, maxiter=cfg.krylov_maxiter,
                 method=method, precond=cfg.precond,
                 remspot_passes=cfg.tortuosity_remspot_passes,
+                dx=cfg.voxel_size,
                 inner_dtype=inner_dtype, verbose=cfg.verbose,
                 return_fields=cfg.write_plotfile or cfg.debug_write_active_mask,
                 original_shape=orig_shape,

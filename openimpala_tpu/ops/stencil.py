@@ -71,10 +71,10 @@ def weighted_degree(active, w, periodic, dtype):
 
 
 # ---------------------------------------------------------------------------
-# Packed operator geometry.  For ISOTROPIC spacing (w0 == w1 == w2 — every
-# production configuration; the reference's sample and bench volumes are
-# unit cells), a free cell's diagonal is w * (total active-neighbour count
-# 1..6), so ONE signed int8 per cell carries the whole operator geometry:
+# Packed operator geometry.  For ISOTROPIC spacing (w0 == w1 == w2 — the
+# reference's sample and bench volumes are unit cells), a free cell's
+# diagonal is w * (total active-neighbour count 1..6), so ONE signed value
+# per cell carries the whole operator geometry:
 #
 #     code =  n_active_neighbours   on free rows (> 0 always: free rows are
 #                                   connected by construction)
@@ -87,37 +87,100 @@ def weighted_degree(active, w, periodic, dtype):
 # from 13 to 10 B/cell of compulsory HBM traffic, the Jacobi sweep from 17
 # to 14.  (Two rejected variants, both measured: int8 bit-packed per-axis
 # counts destroy the Mosaic lowering — 335 s compiles, 127 GB/s at 256^3 —
-# and int8 signed counts fail to lower at all: vector cmpi on i8.)
-# ANISOTROPIC spacing instead stores an explicit diagonal array
-# (StencilSystem.diag_full) and runs the XLA path.
+# and int8 signed counts fail to lower at all: vector cmpi on i8.  The
+# failures are the INT8 dtype in Mosaic, not the packing idea.)
+#
+# ANISOTROPIC spacing (per-axis voxel size — imaging stacks where the Z
+# spacing differs from XY; the reference takes per-axis cell sizes from
+# its RealBox geometry) packs the PER-AXIS active-neighbour counts
+# (each 0..2) in the same bf16 stream:
+#
+#     code =  cx*16 + cy*4 + cz     on free rows (1..42; a free row has at
+#                                   least one neighbour, so always > 0)
+#     code = -1                     on every other row
+#
+# decode: free = code > 0; unpack with base-4/16 arithmetic (exact in
+# f32: the scales 1/16 and 1/4 are powers of two, the packed values are
+# small integers, and bf16 holds integers <= 256 exactly); then
+# diag = w0*cx + w1*cy + w2*cz — the SAME expression, in the same
+# evaluation order, as ``weighted_degree``, so the decode is bit-exact
+# against the explicit diagonal in every float dtype.  The decode is all
+# f32 VPU arithmetic after the bf16 extend, so it lowers in Mosaic where
+# the int8 variants did not; anisotropic systems run the same fused
+# kernels as isotropic ones (was: explicit f32 diagonal + XLA path,
+# ~5x the fine-level wall time).  ``decode_code`` dispatches on the
+# STATIC weight tuple, so every call site handles both packings.
 # ---------------------------------------------------------------------------
 
 
-def neighbor_count(active, periodic):
-    """Total active-neighbour count (0..6) per cell, int8."""
+def neighbor_count_axes(active, periodic):
+    """Per-axis active-neighbour counts ((cx, cy, cz), each 0..2, int8)."""
     ap = pad_halo(active.astype(jnp.int8), periodic)
     sl = [slice(1, -1)] * 3
-    total = None
+    counts = []
     for ax in range(3):
         lo, hi = list(sl), list(sl)
         lo[ax] = slice(0, -2)
         hi[ax] = slice(2, None)
-        cnt = ap[tuple(lo)] + ap[tuple(hi)]
-        total = cnt if total is None else total + cnt
-    return total
+        counts.append(ap[tuple(lo)] + ap[tuple(hi)])
+    return tuple(counts)
+
+
+def neighbor_count(active, periodic):
+    """Total active-neighbour count (0..6) per cell, int8."""
+    cx, cy, cz = neighbor_count_axes(active, periodic)
+    return cx + cy + cz
 
 
 def pack_code(nsum, free):
-    """Signed-count packing: free ? nsum : -1 (see module comment)."""
+    """Isotropic signed-count packing: free ? nsum : -1 (module comment)."""
     return jnp.where(free, nsum.astype(jnp.bfloat16),
                      jnp.asarray(-1, jnp.bfloat16))
 
 
+def pack_code_axes(counts, free):
+    """Anisotropic per-axis packing: free ? cx*16 + cy*4 + cz : -1 (module
+    comment).  ``counts`` are the ``neighbor_count_axes`` triple."""
+    cx, cy, cz = (c.astype(jnp.int32) for c in counts)
+    return jnp.where(free, (cx * 16 + cy * 4 + cz).astype(jnp.bfloat16),
+                     jnp.asarray(-1, jnp.bfloat16))
+
+
+def pack_code_for(w, active, free, periodic):
+    """The packed geometry for weights ``w``: isotropic count or per-axis
+    packing (module comment) — chosen by the static weight tuple, exactly
+    mirroring ``decode_code``."""
+    if uniform_w(w):
+        return pack_code(neighbor_count(active, periodic), free)
+    return pack_code_axes(neighbor_count_axes(active, periodic), free)
+
+
+def unpack_code_axes(code, dtype):
+    """(cx, cy, cz) per-axis counts from the anisotropic packing, in
+    ``dtype``.  Exact: 1/16 and 1/4 are powers of two and the packed
+    values are small integers (module comment)."""
+    dtype = jnp.dtype(dtype).type
+    c = jnp.maximum(code, 0).astype(dtype)
+    cx = jnp.floor(c * dtype(0.0625))
+    rem = c - cx * dtype(16)
+    cy = jnp.floor(rem * dtype(0.25))
+    cz = rem - cy * dtype(4)
+    return cx, cy, cz
+
+
 def decode_code(code, w, dtype):
     """(diag, free) from the packed geometry; fuses into consuming XLA ops
-    (1 B/cell read instead of 5).  Isotropic-w packing only."""
+    (2 B/cell read instead of 5).  Dispatches on the static weight tuple:
+    isotropic count decode or per-axis unpack (module comment)."""
+    dtype = jnp.dtype(dtype).type
     free = code > 0
-    diag = jnp.maximum(code, 0).astype(dtype) * jnp.asarray(w[0], dtype)
+    if uniform_w(w):
+        diag = jnp.maximum(code, 0).astype(dtype) * dtype(w[0])
+        return diag, free
+    cx, cy, cz = unpack_code_axes(code, dtype)
+    # same expression and evaluation order as weighted_degree's
+    # neighbor_sum: w0*(a+b) + w1*(c+d) + w2*(e+f)
+    diag = dtype(w[0]) * cx + dtype(w[1]) * cy + dtype(w[2]) * cz
     return diag, free
 
 
@@ -276,10 +339,6 @@ class StencilSystem:
     b_norm: jax.Array  # ||b_full||_2 (Hypre-compatible denominator)
     w: tuple = dataclasses.field(metadata=dict(static=True))
     periodic: tuple = dataclasses.field(metadata=dict(static=True))
-    # explicit diagonal, ONLY for anisotropic spacing (the signed-count
-    # packing cannot represent per-axis weights); None selects the packed
-    # kernel path
-    diag_full: jax.Array | None = None
 
     @property
     def free(self):
@@ -291,14 +350,9 @@ class StencilSystem:
     def diag(self):
         """Diagonal in the system's storage dtype.  Meaningful only under
         ``free`` (as in the kernels)."""
-        if self.diag_full is not None:
-            return self.diag_full
         return decode_code(self.code, self.w, self.r0_b.dtype)[0]
 
     def apply(self, x):
-        if self.diag_full is not None:
-            return apply_restricted_xla(x, self.diag_full.astype(x.dtype),
-                                        self.free, self.w, self.periodic)
         return apply_code(x, self.code, self.w, self.periodic)
 
     def apply_xla(self, x):
@@ -307,17 +361,12 @@ class StencilSystem:
         ANY, which Mosaic cannot re-block with vmap's added batch dim; the
         per-sample shape still passes ``supports_v3``, so the dispatch in
         ``apply_code`` cannot detect the batching itself."""
-        if self.diag_full is not None:
-            return self.apply(x)
         diag, free = decode_code(self.code, self.w, x.dtype)
         return apply_restricted_xla(x, diag, free, self.w, self.periodic)
 
     def apply_with_dot(self, x):
         """(A x, <x, A x>) — the CG matvec with its curvature reduction
         fused into the same kernel pass on TPU."""
-        if self.diag_full is not None:
-            ax = self.apply(x)
-            return ax, jnp.sum(x * ax)
         return apply_code_with_dot(x, self.code, self.w, self.periodic)
 
     def initial_residual(self, x0_free):
@@ -346,8 +395,6 @@ class StencilSystem:
             x_forced=self.x_forced.astype(dtype),
             r0_b=self.r0_b.astype(dtype),
             b_norm=self.b_norm.astype(dtype),
-            diag_full=(None if self.diag_full is None
-                       else self.diag_full.astype(dtype)),
         )
 
 
@@ -389,7 +436,8 @@ def make_tortuosity_system(
     n = shape[direction]
     hi = n - 1 if hi_plane is None else int(hi_plane)
 
-    nsum = neighbor_count(active, periodic)
+    axes = neighbor_count_axes(active, periodic)
+    nsum = axes[0] + axes[1] + axes[2]
     # Safety decouple: an active cell with NO active neighbours becomes an
     # identity row with rhs 0 — and this happens BEFORE the Dirichlet
     # overwrite (TortuosityHypreFill.F90:172-181 `cycle`s), so an isolated
@@ -404,9 +452,8 @@ def make_tortuosity_system(
     on_hi = (idx == hi) & connected
     dirichlet = on_lo | on_hi
     free = connected & ~dirichlet
-    code = pack_code(nsum, free)
-    diag_full = (None if uniform_w(w)
-                 else weighted_degree(active, w, periodic, dtype))
+    code = (pack_code(nsum, free) if uniform_w(w)
+            else pack_code_axes(axes, free))
 
     x_forced = jnp.where(on_lo, dtype(vlo), jnp.zeros(shape, dtype))
     x_forced = jnp.where(on_hi, dtype(vhi), x_forced)
@@ -422,7 +469,7 @@ def make_tortuosity_system(
 
     return StencilSystem(
         code=code, x_forced=x_forced, r0_b=r0_b, b_norm=b_norm,
-        w=w, periodic=periodic, diag_full=diag_full,
+        w=w, periodic=periodic,
     )
 
 
@@ -445,12 +492,12 @@ def make_cell_problem_system(
 
     # diagonal: every face contributes w_f whether or not the neighbour is
     # active (interface faces add to the diagonal only) —
-    # EffDiffFillMtx.F90:156-221.  Packed form: total count 6 everywhere;
-    # the decoded diagonal is only read under ``free``.
-    code = jnp.where(active, jnp.asarray(6, jnp.bfloat16),
+    # EffDiffFillMtx.F90:156-221.  Packed form: total count 6 everywhere
+    # (anisotropic: per-axis count 2 each = packed 42); the decoded
+    # diagonal is only read under ``free``.
+    code_free = 6 if uniform_w(w) else 2 * 16 + 2 * 4 + 2
+    code = jnp.where(active, jnp.asarray(code_free, jnp.bfloat16),
                      jnp.asarray(-1, jnp.bfloat16))
-    diag_full = (None if uniform_w(w)
-                 else jnp.asarray(2.0 * (w[0] + w[1] + w[2]), dtype))
 
     m = active.astype(dtype)
     mp = pad_halo(m, periodic)
@@ -471,7 +518,7 @@ def make_cell_problem_system(
     b_norm = jnp.sqrt(jnp.sum(rhs * rhs))
     return StencilSystem(
         code=code, x_forced=jnp.zeros((), dtype), r0_b=rhs,
-        b_norm=b_norm, w=w, periodic=periodic, diag_full=diag_full,
+        b_norm=b_norm, w=w, periodic=periodic,
     )
 
 

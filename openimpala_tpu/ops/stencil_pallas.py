@@ -340,15 +340,17 @@ def _yz_neighbor_sum(xm, w, periodic_yz):
 
 
 def _fused_kernel_v3(*refs, w, periodic_x, periodic_yz, n_planes, xr, dr,
-                     mode, omega, with_dot):
+                     mode, omega, with_dot, aniso):
     # x_ref holds the UNPADDED volume: the X halo is handled in-kernel
     # (wrap-indexed fetches on periodic X, zero-filled window slots on
     # clamped X) — the jnp.pad copy this replaces cost ~8 B/cell per call.
     #
     # code_ref packs the operator's static geometry per cell in one bf16
-    # signed count (free ? n_active_neighbours : -1).  The diagonal is
-    # decoded in-kernel as w * count — the f32 diag + int8 free streams
-    # this replaces cost 5 B/cell of HBM traffic; the packed code costs 2.
+    # signed count (free ? n_active_neighbours : -1; anisotropic spacing
+    # packs the per-axis counts as cx*16+cy*4+cz — ops/stencil.py).  The
+    # diagonal is decoded in-kernel (w * count, or the per-axis unpack) —
+    # the f32 diag + int8 free streams this replaces cost 5 B/cell of HBM
+    # traffic; the packed code costs 2.
     sz_ref = None
     if mode == "matvec":
         (x_ref, code_ref), out_refs = refs[:2], refs[2:]
@@ -474,7 +476,19 @@ def _fused_kernel_v3(*refs, w, periodic_x, periodic_yz, n_planes, xr, dr,
             # ops/stencil.py module comment).
             cf = cbuf[s_kd].astype(xm.dtype)
             free = cf > 0
-            d = jnp.maximum(cf, 0) * xm.dtype.type(w[0])
+            ft = xm.dtype.type
+            if aniso:
+                # per-axis unpack (pack_code_axes): cx*16 + cy*4 + cz with
+                # counts 0..2 — exact f32 arithmetic (power-of-two scales,
+                # small integers); diag = w0*cx + w1*cy + w2*cz
+                cc = jnp.maximum(cf, 0)
+                cx = jnp.floor(cc * ft(0.0625))
+                rem = cc - cx * ft(16)
+                cy = jnp.floor(rem * ft(0.25))
+                cz = rem - cy * ft(4)
+                d = ft(w[0]) * cx + ft(w[1]) * cy + ft(w[2]) * cz
+            else:
+                d = jnp.maximum(cf, 0) * ft(w[0])
             ax = d * xm - (w[0] * (xlo + xhi)
                            + _yz_neighbor_sum(xm, w, periodic_yz))
             zero = jnp.zeros((), xm.dtype)
@@ -764,18 +778,15 @@ def fused_stencil_pallas(mode, x, r, code, w, periodic,
 
     ``x`` is the windowed field (p for matvec, the iterate for sweep/resid);
     ``r`` the streamed right-hand side (ignored for matvec, pass None);
-    ``code`` the packed bf16 signed-count geometry (ops/stencil.py
-    pack_code) — the kernel decodes the diagonal as w * count, so no f32
-    diagonal or separate free mask ever crosses HBM.  Returns out, or
-    (out, dot) when ``with_dot`` (matvec).
+    ``code`` the packed bf16 geometry (ops/stencil.py pack_code /
+    pack_code_axes, selected by the static weight tuple) — the kernel
+    decodes the diagonal in-register (w * count, or the per-axis unpack
+    for anisotropic spacing), so no f32 diagonal or separate free mask
+    ever crosses HBM.  Returns out, or (out, dot) when ``with_dot``
+    (matvec).
     """
     X, Y, Z = x.shape
     dtype = x.dtype
-    if not (w[0] == w[1] == w[2]):
-        raise ValueError(
-            "signed-count packed kernels require isotropic spacing; "
-            "anisotropic systems carry diag_full and take the XLA path"
-        )
     code16 = code.astype(jnp.bfloat16)
     has_r = mode != "matvec"
     xr, dr = _rings_for_v3(Y * Z * 4, has_r)
@@ -784,6 +795,7 @@ def fused_stencil_pallas(mode, x, r, code, w, periodic,
         periodic_x=bool(periodic[0]),
         periodic_yz=(periodic[1], periodic[2]), n_planes=X, xr=xr, dr=dr,
         mode=mode, omega=float(omega), with_dot=with_dot,
+        aniso=not (w[0] == w[1] == w[2]),
     )
     out_dims = (X // 2, Y // 2, Z // 2) if mode == "restrict" else (X, Y, Z)
     out_shape = [jax.ShapeDtypeStruct(out_dims, dtype)]

@@ -69,7 +69,6 @@ class LaneSystem:
     b_norm: jax.Array  # (L,)
     w: tuple = dataclasses.field(metadata=dict(static=True))
     periodic: tuple = dataclasses.field(metadata=dict(static=True))
-    diag_full: jax.Array | None = None
 
     @classmethod
     def from_systems(cls, systems):
@@ -80,7 +79,7 @@ class LaneSystem:
             code=base.code, x_forced=base.x_forced,
             r0_b=jnp.stack([s.r0_b for s in systems]),
             b_norm=jnp.stack([s.b_norm for s in systems]),
-            w=base.w, periodic=base.periodic, diag_full=base.diag_full,
+            w=base.w, periodic=base.periodic,
         )
 
     @property
@@ -95,7 +94,6 @@ class LaneSystem:
         return StencilSystem(
             code=self.code, x_forced=self.x_forced, r0_b=self.r0_b[0],
             b_norm=self.b_norm[0], w=self.w, periodic=self.periodic,
-            diag_full=self.diag_full,
         )
 
     def apply_with_dot(self, x):
@@ -135,8 +133,6 @@ class LaneSystem:
             x_forced=self.x_forced.astype(dtype),
             r0_b=self.r0_b.astype(dtype),
             b_norm=self.b_norm.astype(dtype),
-            diag_full=(None if self.diag_full is None
-                       else self.diag_full.astype(dtype)),
         )
 
 

@@ -24,7 +24,6 @@ from ..ops.stencil import (
     residual_restrict,
     residual_restricted,
     smooth_sweep,
-    weighted_degree,
 )
 
 
@@ -129,15 +128,14 @@ class ChebyshevPreconditioner:
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class MGLevel:
-    code: jax.Array  # signed-count bf16 geometry (ops/stencil.py pack_code)
+    # signed-count bf16 geometry (ops/stencil.py pack_code, or the
+    # per-axis pack_code_axes under anisotropic spacing — decode_code and
+    # the fused kernels dispatch on the static weight tuple)
+    code: jax.Array
     w: tuple = dataclasses.field(metadata=dict(static=True))
     periodic: tuple = dataclasses.field(metadata=dict(static=True))
-    diag_full: jax.Array | None = None  # anisotropic spacing only
 
     def decode(self, dtype):
-        if self.diag_full is not None:
-            return (jnp.broadcast_to(self.diag_full, self.code.shape)
-                    .astype(dtype), self.free)
         return decode_code(self.code, self.w, dtype)
 
     @property
@@ -145,9 +143,7 @@ class MGLevel:
         return self.code > 0
 
     def apply(self, x):
-        if self.diag_full is None:
-            return apply_code(x, self.code, self.w, self.periodic)
-        return self.apply_xla(x)
+        return apply_code(x, self.code, self.w, self.periodic)
 
     def apply_xla(self, x):
         # Pallas-free form: the TPU runtime crashes when the Pallas stencil
@@ -158,32 +154,15 @@ class MGLevel:
 
     def sweep(self, x, r, omega: float):
         """One damped-Jacobi sweep, kernel-fused on the packed path."""
-        if self.diag_full is None:
-            return smooth_sweep(x, r, self.code, self.w, self.periodic, omega)
-        diag, free = self.decode(x.dtype)
-        inv_d = jnp.where(free & (diag > 0),
-                          jnp.asarray(omega, x.dtype)
-                          / jnp.where(diag > 0, diag, 1.0),
-                          jnp.zeros((), x.dtype))
-        return x + inv_d * (r - self.apply_xla(x))
+        return smooth_sweep(x, r, self.code, self.w, self.periodic, omega)
 
     def resid(self, x, r):
         """free ? r - A x : 0 (one fused pass on the packed path)."""
-        if self.diag_full is None:
-            return residual_restricted(x, r, self.code, self.w, self.periodic)
-        _, free = self.decode(x.dtype)
-        return jnp.where(free, r - self.apply_xla(x), jnp.zeros((), x.dtype))
+        return residual_restricted(x, r, self.code, self.w, self.periodic)
 
     def resid_restrict(self, x, r):
         """blocksum_2x2x2(free ? r - A x : 0) (fused on the packed path)."""
-        if self.diag_full is None:
-            return residual_restrict(x, r, self.code, self.w, self.periodic)
-        resid = self.resid(x, r)
-        for axis in (2, 1, 0):
-            shape = list(resid.shape)
-            shape[axis:axis + 1] = [shape[axis] // 2, 2]
-            resid = resid.reshape(shape).sum(axis=axis + 1)
-        return resid
+        return residual_restrict(x, r, self.code, self.w, self.periodic)
 
 
 def _can_coarsen(shape):
@@ -501,8 +480,7 @@ class GalerkinMGPreconditioner:
     @classmethod
     def from_system(cls, system, max_levels: int = 3,
                     pallas_min_cells: int = 64 ** 3, **kw):
-        fine = MGLevel(code=system.code, w=system.w, periodic=system.periodic,
-                       diag_full=system.diag_full)
+        fine = MGLevel(code=system.code, w=system.w, periodic=system.periodic)
         # the whole hierarchy builds as ONE jitted program (shapes are
         # static, so the level loop unrolls at trace time): built eagerly
         # the op-by-op dispatches took ~85 s through the tunnelled TPU
@@ -780,30 +758,24 @@ class MultigridPreconditioner:
 
     @classmethod
     def from_system(cls, system, max_levels: int = 10, **kw):
-        from ..ops.stencil import neighbor_count, pack_code, uniform_w
+        from ..ops.stencil import pack_code_for, uniform_w
 
         periodic_cell = bool(system.periodic[0])  # cell problem: all-periodic
         levels = [MGLevel(code=system.code, w=system.w,
-                          periodic=system.periodic,
-                          diag_full=system.diag_full)]
+                          periodic=system.periodic)]
         free = system.free
         w = system.w
-        dtype = system.r0_b.dtype
         while len(levels) < max_levels and _can_coarsen(free.shape):
             free = _coarsen_free(free)
-            w = tuple(wi / 4.0 for wi in w)  # dx doubles
+            w = tuple(wi / 4.0 for wi in w)  # dx doubles (aniso preserved)
             if periodic_cell:
-                code = jnp.where(free, jnp.asarray(6, jnp.bfloat16),
+                code_free = 6 if uniform_w(w) else 2 * 16 + 2 * 4 + 2
+                code = jnp.where(free, jnp.asarray(code_free, jnp.bfloat16),
                                  jnp.asarray(-1, jnp.bfloat16))
-                diag_full = (None if uniform_w(w)
-                             else jnp.asarray(2.0 * sum(w), dtype))
             else:
                 # rediscretise: count free neighbours on the coarse mask
-                code = pack_code(neighbor_count(free, system.periodic), free)
-                diag_full = (None if uniform_w(w) else weighted_degree(
-                    free, w, system.periodic, dtype))
-            levels.append(MGLevel(code=code, w=w, periodic=system.periodic,
-                                  diag_full=diag_full))
+                code = pack_code_for(w, free, free, system.periodic)
+            levels.append(MGLevel(code=code, w=w, periodic=system.periodic))
         return cls(levels=tuple(levels), **kw)
 
     def _smooth(self, level: MGLevel, x, r, n: int):

@@ -41,8 +41,7 @@ fixed SPD operator, so CG stays valid.
 HBM budget (measured): at 512^3 on a 16 GiB v5e the SA V-cycle fits for
 the flow-through (tortuosity) operator but the SA W-cycle and the SA-
 preconditioned PERIODIC cell problem both exhaust HBM (the cell problem
-carries a dense f32 ``diag_full`` plus wrap-coupled 33-tap coarse levels
-on top of the CG state).  ``precond="auto"`` therefore keeps GMG on TPU;
+carries wrap-coupled 33-tap coarse levels on top of the CG state).  ``precond="auto"`` therefore keeps GMG on TPU;
 request SA explicitly only where iterations dominate wall time
 (CPU/virtual-mesh runs) or at <= 256^3.
 """
@@ -324,7 +323,7 @@ class SAMGPreconditioner:
         hence still SPD — V-cycle costs ~no iterations), full precision
         elsewhere."""
         fine = MGLevel(code=system.code, w=system.w,
-                       periodic=system.periodic, diag_full=system.diag_full)
+                       periodic=system.periodic)
         dtype = system.r0_b.dtype
         dinv0, free0 = _fine_dinv(fine, jnp.zeros((), dtype))
         shape = system.code.shape

@@ -67,3 +67,15 @@ def test_solver_surface():
         assert resolve_solver(name) in ("cg", "flexgmres")
     with pytest.raises(ValueError, match="Invalid solver string"):
         resolve_solver("AMG")
+
+
+def test_voxel_size_key():
+    """voxel_size: 1 value = isotropic, 3 = per-axis (new surface; the
+    reference CLI pins a unit RealBox but its kernels are dx-generic)."""
+    assert _cfg("").voxel_size == (1.0, 1.0, 1.0)
+    assert _cfg("voxel_size = 0.5").voxel_size == (0.5, 0.5, 0.5)
+    assert _cfg("voxel_size = 1.0 1.0 2.5").voxel_size == (1.0, 1.0, 2.5)
+    with pytest.raises(ValueError):
+        _cfg("voxel_size = 1.0 2.0")
+    with pytest.raises(ValueError):
+        _cfg("voxel_size = 1.0 -1.0 2.0")

@@ -277,3 +277,75 @@ class TestPackedFill:
         active, _ = percolation_oneshot_packed(jnp.asarray(phase), 0)
         ri, ro = flood_fill_host(phase, 0)
         np.testing.assert_array_equal(np.asarray(active), ri & ro)
+
+
+class TestAnisotropicPackedCode:
+    """Per-axis packed geometry (ops/stencil.py module comment): the bf16
+    cx*16+cy*4+cz stream must decode BIT-EXACTLY to the explicit
+    weighted-degree diagonal in every float dtype — it replaced the f32
+    diag_full array as the anisotropic representation."""
+
+    def test_decode_matches_weighted_degree_exactly(self, rng):
+        from openimpala_tpu.ops.stencil import (
+            decode_code,
+            neighbor_count_axes,
+            pack_code_axes,
+            unpack_code_axes,
+            weighted_degree,
+        )
+
+        shape = (12, 14, 10)
+        active = jnp.asarray(rng.random(shape) < 0.6)
+        for periodic in [(False,) * 3, (True,) * 3]:
+            axes = neighbor_count_axes(active, periodic)
+            free = active & ((axes[0] + axes[1] + axes[2]) > 0)
+            code = pack_code_axes(axes, free)
+            # unpack returns the exact per-axis counts
+            ux, uy, uz = unpack_code_axes(code, jnp.float64)
+            for got, want in zip((ux, uy, uz), axes):
+                np.testing.assert_array_equal(
+                    np.asarray(got)[np.asarray(free)],
+                    np.asarray(want, np.float64)[np.asarray(free)])
+            for w in [(1.0, 4.0, 0.25), (1.0, 1.0, 2.0), (0.37, 1.9, 5.3)]:
+                for dtype in (jnp.float32, jnp.float64):
+                    diag, dfree = decode_code(code, w, dtype)
+                    want = weighted_degree(active, w, periodic, dtype)
+                    f = np.asarray(free)
+                    np.testing.assert_array_equal(np.asarray(dfree), f)
+                    # bit-exact: same expression, same evaluation order
+                    np.testing.assert_array_equal(
+                        np.asarray(diag)[f], np.asarray(want)[f])
+
+    def test_system_builders_pack_axiswise(self, rng):
+        from openimpala_tpu.ops.stencil import (
+            make_cell_problem_system,
+            make_tortuosity_system,
+        )
+
+        shape = (10, 12, 8)
+        active = jnp.asarray(rng.random(shape) < 0.6)
+        dx = (1.0, 0.5, 2.0)
+        ts = make_tortuosity_system(active, 0, -1.0, 1.0, dx=dx)
+        assert float(jnp.max(ts.code)) <= 42.0
+        # the decoded diagonal drives the oracle-pinned solves; spot-check
+        # the apply against the manual expression on a random vector
+        x = jnp.where(ts.free,
+                      jnp.asarray(rng.standard_normal(shape)), 0.0)
+        from openimpala_tpu.ops.stencil import (
+            apply_restricted_xla,
+            weighted_degree,
+        )
+
+        diag = weighted_degree(active, ts.w, ts.periodic, jnp.float64)
+        want = apply_restricted_xla(x, diag, ts.free, ts.w, ts.periodic)
+        np.testing.assert_array_equal(np.asarray(ts.apply(x)),
+                                      np.asarray(want))
+
+        cs = make_cell_problem_system(active, 1, dx=dx)
+        # periodic cell problem: every active cell packs (2, 2, 2) = 42
+        codes = np.asarray(cs.code)[np.asarray(active)]
+        assert (codes == 42).all()
+        np.testing.assert_allclose(
+            float(jnp.asarray(cs.diag).reshape(-1)[
+                int(np.flatnonzero(np.asarray(active).ravel())[0])]),
+            2.0 * sum(cs.w), rtol=0, atol=0)

@@ -128,6 +128,55 @@ def test_v3_modes_match_xla(shape, periodic_x, rng):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("shape", [(10, 16, 128), (32, 24, 256)])
+@pytest.mark.parametrize("periodic_x", [False, True])
+def test_v3_modes_match_xla_anisotropic(shape, periodic_x, rng):
+    """The v3 engine under ANISOTROPIC spacing: the per-axis packed code
+    (ops/stencil.py pack_code_axes) decodes in-kernel to the exact
+    weighted-degree diagonal — matvec+dot / resid / sweep vs the XLA
+    reference expressions."""
+    from openimpala_tpu.ops.stencil import apply_restricted_xla
+    from openimpala_tpu.ops.stencil_pallas import fused_stencil_pallas
+
+    mask = rng.random(shape) < 0.7
+    dx = (1.0, 0.5, 2.0)
+    if periodic_x:
+        system = make_cell_problem_system(jnp.asarray(mask), 0, dx=dx,
+                                          dtype=jnp.float32)
+    else:
+        system = make_tortuosity_system(jnp.asarray(mask), 0, -1.0, 1.0,
+                                        dx=dx, dtype=jnp.float32)
+    assert system.w[0] != system.w[1]  # actually anisotropic
+    x = jnp.where(system.free,
+                  jnp.asarray(rng.standard_normal(shape), jnp.float32), 0.0)
+    r = jnp.where(system.free,
+                  jnp.asarray(rng.standard_normal(shape), jnp.float32), 0.0)
+    diag = jnp.broadcast_to(jnp.asarray(system.diag, jnp.float32), shape)
+    W, PER = system.w, system.periodic
+
+    ax = apply_restricted_xla(x, diag, system.free, W, PER)
+
+    out, dot = fused_stencil_pallas("matvec", x, None, system.code,
+                                    W, PER, with_dot=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ax),
+                               rtol=1e-5, atol=1e-5)
+    assert float(dot) == pytest.approx(float(jnp.sum(ax * x)), rel=1e-4)
+
+    got = fused_stencil_pallas("resid", x, r, system.code, W, PER,
+                               interpret=True)
+    want = jnp.where(system.free, r - ax, 0.0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+    got = fused_stencil_pallas("sweep", x, r, system.code, W, PER,
+                               omega=0.9, interpret=True)
+    inv_d = jnp.where(system.free & (diag > 0),
+                      0.9 / jnp.where(diag > 0, diag, 1.0), 0.0)
+    want = x + inv_d * (r - ax)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
 @pytest.mark.parametrize("periodic_x", [False, True])
 def test_conductance_kernel_matches_xla(periodic_x, rng):
     """The coarse-level conductance kernel (matvec + sweep) against the

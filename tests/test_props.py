@@ -76,9 +76,9 @@ class TestTortuosity:
         assert r.active_vf == 0.0
 
     def test_anisotropic_dx_matches_dense_oracle(self, blob_phase):
-        """Anisotropic spacing takes the explicit-diagonal (diag_full) path
-        (ops/stencil.py — the signed-count packing is isotropic-only); the
-        solved potential must match the independent dense assembly."""
+        """Anisotropic spacing packs per-axis counts (ops/stencil.py
+        pack_code_axes) and runs the same solver stack; the solved
+        potential must match the independent dense assembly."""
         import sys
 
         sys.path.insert(0, os.path.dirname(__file__))
