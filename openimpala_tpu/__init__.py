@@ -14,7 +14,8 @@ Architecture (TPU-first, not a port):
   ``DistributionMapping``/``MultiFab``/``FillBoundary``.
 - ``ops/``       masked stencil operators (pure-XLA and Pallas TPU kernels)
   replacing the Fortran fill kernels + Hypre StructMatrix — the solve is
-  matrix-free.
+  matrix-free; isotropic AND anisotropic voxel spacing run the same fused
+  kernels via a packed bf16 operator geometry (``ops/stencil.py``).
 - ``solve/``     Krylov (CG / FlexGMRES; the BiCGSTAB solver *name* is
   accepted and maps to CG — the eliminated systems are SPD, see
   ``config.SOLVER_MAP``) + geometric multigrid preconditioning +

@@ -480,3 +480,24 @@ class TestShardedPackedFill:
         want = ri & ro
         np.testing.assert_array_equal(np.asarray(active), want)
         assert vf == pytest.approx(want.sum() / phase.size)
+
+
+def test_tortuosity_driver_sharded_matches_single_anisotropic(rng):
+    """Sharded parity under ANISOTROPIC spacing: the per-axis packed
+    geometry (ops/stencil.py pack_code_axes) must decode identically under
+    GSPMD — same tau as the single-device solve of the same volume."""
+    from openimpala_tpu.props.tortuosity import tortuosity
+
+    phase = (rng.random((32, 16, 16)) < 0.75).astype(np.int32)
+    phase[:, 8, 8] = 1  # guarantee percolation along X
+    dx = (1.0, 0.5, 2.0)
+
+    r_single = tortuosity(phase, 1, 0, eps=1e-10, dx=dx, mesh=None,
+                          percolation_method="host")
+    mesh = make_mesh(n_devices=8)
+    r_sharded = tortuosity(phase, 1, 0, eps=1e-10, dx=dx, mesh=mesh,
+                           percolation_method="host")
+
+    assert r_sharded.converged and r_sharded.flux_conserved
+    assert abs(r_sharded.value - r_single.value) < 1e-7
+    assert r_sharded.active_vf == r_single.active_vf
