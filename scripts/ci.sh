@@ -48,6 +48,12 @@ OPENIMPALA_PLATFORM=cpu timeout 600 python -m openimpala_tpu.diffusion \
 diff <(grep "Tortuosity_X" "$SMOKE/results/results.txt") \
      <(grep "Tortuosity_X" "$SMOKE/results_raw/results.txt")
 
+echo "=== CLI smoke: anisotropic voxel_size (per-axis packed geometry) ==="
+OPENIMPALA_PLATFORM=cpu timeout 600 python -m openimpala_tpu.diffusion \
+    "$SMOKE/inputs" calculation_method=flow_through \
+    "voxel_size=1.0 1.0 2.0" results_path="$SMOKE/results_aniso/"
+grep -q "Tortuosity_X" "$SMOKE/results_aniso/results.txt"
+
 echo "=== multi-chip dry run (8 virtual devices) ==="
 timeout 600 python -c "import __graft_entry__ as g; g.dryrun_multichip(8)"
 
