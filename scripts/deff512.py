@@ -3,7 +3,8 @@
 The homogenization path solves THREE periodic cell problems on one
 geometry, so a better coarse space amortises its build 3x.
 Env: N, ONLY, LANES (1 forces the lockstep multi-RHS path, 0 forces the
-sequential loop, unset = the use_lanes auto gate).
+sequential loop, unset = the use_lanes auto gate), DX (comma triple for
+anisotropic voxel spacing, e.g. "1.0,1.0,0.5").
 """
 import os
 import sys
@@ -35,9 +36,10 @@ if sel:
     configs = sel.split(",")
 lanes_env = os.environ.get("LANES")
 lanes = "auto" if lanes_env is None else lanes_env == "1"
+dx = tuple(float(v) for v in os.environ.get("DX", "1,1,1").split(","))
 for pc in configs:
     t0 = time.time()
-    r = effective_diffusivity(phase, 1, eps=1e-9, precond=pc,
+    r = effective_diffusivity(phase, 1, eps=1e-9, precond=pc, dx=dx,
                               inner_dtype=jnp.float32, lanes=lanes,
                               verbose=1)
     D = np.asarray(r.deff)
