@@ -103,10 +103,14 @@ def main(argv=None) -> int:
     # program compile/load overlaps the voxel read + threshold
     # (props.tortuosity.prime_solver; best-effort, None off-TPU)
     warm0 = None
+    meta_reader = None  # reused by the fallback load below (readers are
+    # metadata-first; constructing one twice would re-enumerate/stat a
+    # whole TIFF slice sequence)
     if (not cfg.rev_do_study
             and os.environ.get("OPENIMPALA_NO_EARLY_WARM") != "1"):
         try:
-            meta = _reader(cfg)
+            meta_reader = _reader(cfg)
+            meta = meta_reader
             dims = (meta.width, meta.height, meta.depth)
             if min(dims) > 0 and cfg.calculation_method == "flow_through":
                 from .props.tortuosity import prime_solver
@@ -148,7 +152,8 @@ def main(argv=None) -> int:
                 print(f"  Distributed ingest over {len(jax.devices())} "
                       f"devices")
     if phase is None:
-        phase = load_phase(cfg)
+        phase = (meta_reader.threshold(cfg.threshold_val, 1, 0)
+                 if meta_reader is not None else load_phase(cfg))
         orig_shape = phase.shape
     if cfg.verbose >= 1:
         print(f"  Domain: {orig_shape[0]} x {orig_shape[1]} x "

@@ -67,7 +67,7 @@ def prime_cell_solver(shape, *, dx=(1.0, 1.0, 1.0), method: str = "cg",
     return warmup.maybe_start(
         shape, 0, -1.0, 1.0, tuple(dx), jnp.dtype(storage).name, None,
         mesh, precond, precond_opts, method, inner_dtype, dtype,
-        float(eps), device_percolation=True, problem="cell")
+        float(eps), problem="cell")
 
 
 @dataclasses.dataclass

@@ -118,7 +118,11 @@ def prime_solver(shape, direction, *, vlo: float = -1.0, vhi: float = 1.0,
         jnp.dtype(storage).name, hi_plane, mesh, precond, precond_opts,
         method, inner_dtype, dtype, float(eps),
         device_percolation=device_perc,
-        extra_dirs=tuple(parse_direction(d) for d in extra_dirs),
+        # (direction, hi_plane) pairs — on a padded mesh only direction 0
+        # pins the outlet plane (same rule as the primary above)
+        extra_dirs=tuple(
+            (d, shape[0] - 1 if pad and d == 0 else None)
+            for d in (parse_direction(e) for e in extra_dirs)),
     )
 
 
@@ -303,6 +307,11 @@ def tortuosity(
     if warm is not None:
         with phase_timer("tortuosity/warm_join"):
             warm.join()  # never compile the same program from two threads
+            # a LATER direction's system-build prime may still be compiling
+            # after main_ready (shared direction=All handle); its event is
+            # set once both its fill AND build primes are done — wait here
+            # (after percolation, so the host fill was never delayed)
+            warm.wait_fill(direction)
     with phase_timer("tortuosity/system_setup"):
         system, x0_free = _build_system(
             active_j, direction, float(vlo), float(vhi), tuple(dx),

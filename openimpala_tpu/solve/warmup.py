@@ -27,6 +27,13 @@ from __future__ import annotations
 import threading
 
 
+def _norm_extra_dirs(extra_dirs):
+    """Normalize extra_dirs entries to ``(direction, hi_plane)`` pairs
+    (bare ints mean hi_plane=None — the non-padded-mesh common case)."""
+    return tuple(e if isinstance(e, tuple) else (e, None)
+                 for e in extra_dirs)
+
+
 def _warm(shape, direction, vlo, vhi, dx, storage_name, hi_plane, mesh,
           precond, precond_opts, method, inner_dtype, outer_dtype, eps,
           problem="flow", device_percolation=False, extra_dirs=(),
@@ -65,6 +72,9 @@ def _warm(shape, direction, vlo, vhi, dx, storage_name, hi_plane, mesh,
                 packed = jax.ShapeDtypeStruct(
                     (shape[0], shape[1], shape[2] // 8), jnp.uint8)
                 _unpack_jit().lower(packed).compile()
+        except Exception:
+            pass  # fill prime is best-effort; the solver primes below
+            # must still run (the main thread compiles the fill on demand)
         finally:
             _mark_fill(direction)
     else:
@@ -82,10 +92,15 @@ def _warm(shape, direction, vlo, vhi, dx, storage_name, hi_plane, mesh,
     resolved = "gmg" if precond in ("auto", None) else precond
     abstract = (mesh is None and method in ("cg", "pcg")
                 and resolved == "gmg")
+    # bool avals: the real drivers always pass a BOOLEAN active mask
+    # (ops/masks.py upload_mask / ops/packfill.py both produce bool), and
+    # an AOT-primed executable is only shared when the avals match exactly
+    # — an int8 prime would compile a dead program and leave the real
+    # build cold.
     if abstract:
-        ones = jax.ShapeDtypeStruct(tuple(shape), jnp.int8)
+        ones = jax.ShapeDtypeStruct(tuple(shape), jnp.bool_)
     else:
-        ones = jnp.ones(shape, jnp.int8)
+        ones = jnp.ones(shape, jnp.bool_)
         if mesh is not None:
             from ..parallel.mesh import shard_volume
 
@@ -158,13 +173,18 @@ def _warm(shape, direction, vlo, vhi, dx, storage_name, hi_plane, mesh,
     # shared.  Priming them here overlaps their tunnel load with the first
     # direction's solve instead of serializing at the head of each later
     # direction (props/tortuosity.py waits on the per-direction event
-    # before dispatching that direction's fill).
-    for d in extra_dirs:
+    # before dispatching that direction's fill/build).  Entries are
+    # ``(direction, hi_plane)`` pairs — hi_plane is per-direction on a
+    # padded mesh (only direction 0 pins the outlet plane).  Each
+    # direction's failure is isolated so the remaining primes still run.
+    for d, hp in _norm_extra_dirs(extra_dirs):
         try:
             _build_system.lower(ones, d, vlo, vhi, dx, storage_name,
-                                None).compile()
+                                hp).compile()
             if device_percolation and mesh is None:
                 _prime_fill(d)
+        except Exception:
+            pass
         finally:
             _mark_fill(d)
 
@@ -345,9 +365,11 @@ class SolverWarmup:
     def __init__(self, *args):
         # args mirror _warm's positional signature (maybe_start builds the
         # tuple): args[1] is the primary direction, args[-1] extra_dirs
+        # as (direction, hi_plane) pairs
         self._primary = args[1]
+        extra = _norm_extra_dirs(args[-1])
         self.fill_events = {d: threading.Event()
-                            for d in (args[1], *args[-1])}
+                            for d in (args[1], *(e[0] for e in extra))}
         self.main_ready = threading.Event()
         self._thread = threading.Thread(
             target=self._run, args=args, daemon=True, name="oi-solver-warmup"
@@ -366,21 +388,25 @@ class SolverWarmup:
                 ev.set()
 
     def wait_fill(self, direction=None, timeout: float = 600.0):
-        """Block until ``direction``'s percolation-fill programs are primed
-        (set early by ``_warm``, and unconditionally when the thread exits)
-        — the main thread must not compile the same fill program
-        concurrently.  A direction the thread never registered returns
-        immediately (the caller compiles on demand; disjoint programs)."""
+        """Block until ``direction``'s direction-static programs are primed
+        (the percolation fill; for later directions also the system build —
+        the event is set after both, set early for the primary direction,
+        and unconditionally when the thread exits) — the main thread must
+        not compile the same program concurrently.  A direction the thread
+        never registered returns immediately (the caller compiles on
+        demand; disjoint programs)."""
         ev = self.fill_events.get(
             self._primary if direction is None else direction)
         if ev is not None:
             ev.wait(timeout)
 
     def join(self, timeout: float = 600.0):
-        """Wait until every program the NEXT solve dispatches is primed.
-        After ``main_ready`` the thread only loads later-direction
-        fill/build executables — disjoint from the running solve, safe to
-        overlap (same one-compile-one-program invariant as wait_fill)."""
+        """Wait until every program the FIRST direction's solve dispatches
+        is primed.  After ``main_ready`` the thread only compiles
+        later-direction fill/build executables — disjoint from the FIRST
+        direction's solve, safe to overlap; a LATER direction's call must
+        additionally ``wait_fill(direction)`` before its system build (the
+        per-direction event gates both its fill and build primes)."""
         if not self.main_ready.wait(timeout):
             self._thread.join(timeout)
 
@@ -409,12 +435,18 @@ def maybe_start(shape, direction, vlo, vhi, dx, storage_name, hi_plane, mesh,
             return None
     except Exception:
         return None
-    if (os.cpu_count() or 1) < 2 and not device_percolation:
+    # the cell problem has no percolation fill at all — the competing host
+    # work (voxel read + threshold) releases the GIL, so the overlap pays
+    # even on one core (measured: CLI homogenization primes at
+    # reader-metadata time, scripts/deffprof.py)
+    host_fill_competes = problem == "flow" and not device_percolation
+    if (os.cpu_count() or 1) < 2 and host_fill_competes:
         return None
     if shape[0] * shape[1] * shape[2] < 192 ** 3:
         return None
+    extra = _norm_extra_dirs(extra_dirs)
     return SolverWarmup(shape, direction, float(vlo), float(vhi), tuple(dx),
                         storage_name, hi_plane, mesh, precond, precond_opts,
                         method, inner_dtype, outer_dtype, float(eps),
                         problem, device_percolation,
-                        tuple(d for d in extra_dirs if d != direction))
+                        tuple(e for e in extra if e[0] != direction))

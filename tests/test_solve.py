@@ -289,6 +289,50 @@ def test_warmup_extra_dirs_event_protocol():
     assert all(ev.is_set() for ev in w.fill_events.values())
 
 
+def test_warmup_primes_real_mask_avals(monkeypatch):
+    """An AOT-primed executable is shared only when its avals match the
+    real call EXACTLY — the warm-up must prime _build_system with the same
+    mask dtype the drivers pass (bool, from ops/masks.upload_mask and the
+    packed device fill).  Pins the contract for both the abstract
+    (ShapeDtypeStruct) and eager (dummy-volume) warm paths, primary and
+    extra directions."""
+    import importlib
+
+    from openimpala_tpu.ops.masks import upload_mask
+    from openimpala_tpu.solve import warmup
+
+    # the package re-exports the tortuosity FUNCTION at props.tortuosity;
+    # importlib resolves the module itself
+    T = importlib.import_module("openimpala_tpu.props.tortuosity")
+
+    real_dtype = upload_mask(np.ones((16, 8, 8), bool)).dtype
+
+    class Recorder:
+        def __init__(self, fn):
+            self.fn = fn
+            self.dtypes = []
+
+        def lower(self, ones, *a, **k):
+            self.dtypes.append(jnp.dtype(ones.dtype))
+            return self.fn.lower(ones, *a, **k)
+
+        def __call__(self, ones, *a, **k):
+            self.dtypes.append(jnp.dtype(ones.dtype))
+            return self.fn(ones, *a, **k)
+
+    rec = Recorder(T._build_system)
+    monkeypatch.setattr(T, "_build_system", rec)
+    # abstract path (gmg) incl. an extra-direction build prime
+    warmup._warm((16, 8, 8), 0, -1.0, 1.0, (1.0, 1.0, 1.0), "float32",
+                 None, None, "auto", None, "cg", jnp.float32, jnp.float64,
+                 1e-9, extra_dirs=(1,))
+    # eager fallback path (jacobi)
+    warmup._warm((16, 8, 8), 0, -1.0, 1.0, (1.0, 1.0, 1.0), "float32",
+                 None, None, "jacobi", None, "cg", jnp.float32, jnp.float64,
+                 1e-9)
+    assert rec.dtypes and all(d == real_dtype for d in rec.dtypes)
+
+
 def test_fgmres_f32_plateau_breaks(problem):
     """An f32 FGMRES asked for an unreachable tolerance must end at the
     Gram-Schmidt noise floor (two no-progress cycles), not spin to maxiter
