@@ -95,6 +95,9 @@ class DiffusionConfig:
     tortuosity_vlo: float = -1.0
     tortuosity_vhi: float = 1.0
     tortuosity_remspot_passes: int = 0
+    # per-component verbosity (TortuosityHypre.cpp:150-157 reads its own
+    # "tortuosity.verbose"); -1 = inherit the global `verbose`
+    tortuosity_verbose: int = -1
     # hypre block (TortuosityHypre.cpp:141-149)
     eps: float = 1e-9
     maxiter: int = 200
@@ -148,6 +151,9 @@ class DiffusionConfig:
         c.tortuosity_vhi = pp.query("tortuosity.vhi", c.tortuosity_vhi, float)
         c.tortuosity_remspot_passes = pp.query(
             "tortuosity.remspot_passes", c.tortuosity_remspot_passes, int
+        )
+        c.tortuosity_verbose = pp.query(
+            "tortuosity.verbose", c.tortuosity_verbose, int
         )
         c.eps = pp.query("hypre.eps", c.eps, float)
         c.maxiter = pp.query("hypre.maxiter", c.maxiter, int)
@@ -227,3 +233,17 @@ def resolve_solver(name: str) -> str:
             f"Invalid solver string: '{name}' (accepted: {sorted(SOLVER_MAP)})"
         )
     return SOLVER_MAP[key]
+
+
+def solver_notice(name: str) -> str | None:
+    """One-line runtime notice when a reference solver name maps onto a
+    DIFFERENT algorithm here — so a user comparing console iteration counts
+    against Hypre (TortuosityHypre.cpp:700-704) isn't silently misled.
+    Returns None when the mapping is the identity (cg/pcg) or keeps the
+    named algorithm (gmres/fgmres)."""
+    key = name.strip().lower()
+    if SOLVER_MAP.get(key) == "cg" and key not in ("cg", "pcg"):
+        return (f"Note: solver_type={name} runs preconditioned CG on the SPD "
+                f"eliminated system (iteration counts are not comparable "
+                f"with Hypre {name} — see docs/MIGRATION.md, Solvers)")
+    return None

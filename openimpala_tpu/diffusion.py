@@ -24,7 +24,7 @@ import time
 
 import numpy as np
 
-from .config import DiffusionConfig, ParmParse, resolve_solver
+from .config import DiffusionConfig, ParmParse, resolve_solver, solver_notice
 from .io.writers import read_any, write_results_txt, write_volume_hdf5_xdmf
 from .props.effective_diffusivity import effective_diffusivity
 from .props.rev import rev_study
@@ -94,6 +94,14 @@ def main(argv=None) -> int:
     os.makedirs(cfg.results_path, exist_ok=True)
     method = resolve_solver(cfg.solver_type)
     inner_dtype = None if cfg.inner_precision == "float64" else np.float32
+    if cfg.verbose >= 1:
+        notice = solver_notice(cfg.solver_type)
+        if notice:
+            print(f"  {notice}")
+    # per-component verbosity (TortuosityHypre.cpp:150-157): an explicit
+    # tortuosity.verbose overrides the global level for the tortuosity solves
+    tort_verbose = (cfg.tortuosity_verbose if cfg.tortuosity_verbose >= 0
+                    else cfg.verbose)
 
     if cfg.verbose >= 1:
         print(f"Reading full domain data from: "
@@ -224,7 +232,7 @@ def main(argv=None) -> int:
                 method=method, precond=cfg.precond,
                 remspot_passes=cfg.tortuosity_remspot_passes,
                 dx=cfg.voxel_size,
-                inner_dtype=inner_dtype, verbose=cfg.verbose,
+                inner_dtype=inner_dtype, verbose=tort_verbose,
                 return_fields=cfg.write_plotfile or cfg.debug_write_active_mask,
                 original_shape=orig_shape,
                 # ONE shared handle: warm0 registered every direction via

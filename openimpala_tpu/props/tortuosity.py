@@ -308,10 +308,10 @@ def tortuosity(
         with phase_timer("tortuosity/warm_join"):
             warm.join()  # never compile the same program from two threads
             # a LATER direction's system-build prime may still be compiling
-            # after main_ready (shared direction=All handle); its event is
-            # set once both its fill AND build primes are done — wait here
-            # (after percolation, so the host fill was never delayed)
-            warm.wait_fill(direction)
+            # after main_ready (shared direction=All handle) — wait on its
+            # dedicated build event here (after percolation, so the fill
+            # was never delayed by a build compile it didn't need)
+            warm.wait_build(direction)
     with phase_timer("tortuosity/system_setup"):
         system, x0_free = _build_system(
             active_j, direction, float(vlo), float(vhi), tuple(dx),

@@ -37,7 +37,7 @@ def _norm_extra_dirs(extra_dirs):
 def _warm(shape, direction, vlo, vhi, dx, storage_name, hi_plane, mesh,
           precond, precond_opts, method, inner_dtype, outer_dtype, eps,
           problem="flow", device_percolation=False, extra_dirs=(),
-          fill_events=None, main_ready=None):
+          fill_events=None, build_events=None, main_ready=None):
     import jax
     import jax.numpy as jnp
 
@@ -47,6 +47,10 @@ def _warm(shape, direction, vlo, vhi, dx, storage_name, hi_plane, mesh,
     def _mark_fill(d):
         if fill_events is not None and d in fill_events:
             fill_events[d].set()
+
+    def _mark_build(d):
+        if build_events is not None and d in build_events:
+            build_events[d].set()
 
     def _prime_fill(d):
         from ..ops.packfill import percolation_oneshot_packed
@@ -120,6 +124,7 @@ def _warm(shape, direction, vlo, vhi, dx, storage_name, hi_plane, mesh,
     else:
         system, x0 = _build_system(ones, direction, vlo, vhi, dx,
                                    storage_name, hi_plane)
+    _mark_build(direction)
     # make_precond handles abstract systems for gmg (preconditioners.py
     # from_system primes the hierarchy program and shape-infers the levels)
     M = make_precond(system, precond, precond_opts, method)
@@ -172,21 +177,28 @@ def _warm(shape, direction, vlo, vhi, dx, storage_name, hi_plane, mesh,
     # chunked-CG / residual / refine programs key on shapes only and are
     # shared.  Priming them here overlaps their tunnel load with the first
     # direction's solve instead of serializing at the head of each later
-    # direction (props/tortuosity.py waits on the per-direction event
-    # before dispatching that direction's fill/build).  Entries are
-    # ``(direction, hi_plane)`` pairs — hi_plane is per-direction on a
-    # padded mesh (only direction 0 pins the outlet plane).  Each
-    # direction's failure is isolated so the remaining primes still run.
+    # direction.  Entries are ``(direction, hi_plane)`` pairs — hi_plane is
+    # per-direction on a padded mesh (only direction 0 pins the outlet
+    # plane).  The FILL prime runs first and signals its own event
+    # (fill_events[d]) the moment it's done — that direction's percolation
+    # dispatch (props/tortuosity.py wait_fill) must never sit behind the
+    # system-build compile it doesn't need; the build prime then signals
+    # build_events[d], which gates the post-percolation _build_system call
+    # (wait_build).  Each prime's failure is isolated so the rest still run.
     for d, hp in _norm_extra_dirs(extra_dirs):
+        if device_percolation and mesh is None:
+            try:
+                _prime_fill(d)
+            except Exception:
+                pass
+        _mark_fill(d)
         try:
             _build_system.lower(ones, d, vlo, vhi, dx, storage_name,
                                 hp).compile()
-            if device_percolation and mesh is None:
-                _prime_fill(d)
         except Exception:
             pass
         finally:
-            _mark_fill(d)
+            _mark_build(d)
 
 
 def _prime_refine_glue(system, shape, inner_dtype, outer_dtype):
@@ -362,51 +374,76 @@ def _warm_cell(ones, dx, storage_name, mesh, precond, precond_opts, method,
 class SolverWarmup:
     """Best-effort background prime of the solve-path programs."""
 
-    def __init__(self, *args):
-        # args mirror _warm's positional signature (maybe_start builds the
-        # tuple): args[1] is the primary direction, args[-1] extra_dirs
-        # as (direction, hi_plane) pairs
-        self._primary = args[1]
-        extra = _norm_extra_dirs(args[-1])
-        self.fill_events = {d: threading.Event()
-                            for d in (args[1], *(e[0] for e in extra))}
+    def __init__(self, warm_args, *, primary_direction, extra_dirs=()):
+        # ``warm_args``: _warm's positional tuple (built by maybe_start).
+        # The direction registry is passed EXPLICITLY — never sliced back
+        # out of the opaque tuple — so growing _warm's signature can't
+        # silently desynchronize the event registries.
+        self._primary = primary_direction
+        dirs = (primary_direction,
+                *(e[0] for e in _norm_extra_dirs(extra_dirs)))
+        self.fill_events = {d: threading.Event() for d in dirs}
+        self.build_events = {d: threading.Event() for d in dirs}
         self.main_ready = threading.Event()
         self._thread = threading.Thread(
-            target=self._run, args=args, daemon=True, name="oi-solver-warmup"
+            target=self._run, args=warm_args, daemon=True,
+            name="oi-solver-warmup"
         )
         self._thread.start()
 
     def _run(self, *args):
         try:
             _warm(*args, fill_events=self.fill_events,
+                  build_events=self.build_events,
                   main_ready=self.main_ready)
         except Exception:
             pass  # warm-up is opportunistic; the real solve compiles on demand
         finally:
             self.main_ready.set()
-            for ev in self.fill_events.values():
+            for ev in (*self.fill_events.values(),
+                       *self.build_events.values()):
                 ev.set()
 
+    @staticmethod
+    def _wait(ev, what, direction, timeout):
+        if ev is None:
+            return  # unregistered direction: caller compiles on demand
+            # (disjoint programs)
+        if not ev.wait(timeout):
+            # surface the stall instead of proceeding silently: the caller
+            # will now compile the same program the thread may still be
+            # compiling — a duplicate-compile hazard worth a breadcrumb
+            # (remote compiles vary 50-575 s; see CLAUDE.md)
+            import sys
+
+            print(f"openimpala_tpu: solver warm-up {what} prime for "
+                  f"direction {direction} still running after {timeout:.0f}s"
+                  f" — proceeding; a duplicate compile may follow",
+                  file=sys.stderr, flush=True)
+
     def wait_fill(self, direction=None, timeout: float = 600.0):
-        """Block until ``direction``'s direction-static programs are primed
-        (the percolation fill; for later directions also the system build —
-        the event is set after both, set early for the primary direction,
-        and unconditionally when the thread exits) — the main thread must
-        not compile the same program concurrently.  A direction the thread
-        never registered returns immediately (the caller compiles on
-        demand; disjoint programs)."""
-        ev = self.fill_events.get(
-            self._primary if direction is None else direction)
-        if ev is not None:
-            ev.wait(timeout)
+        """Block until ``direction``'s percolation-fill program is primed
+        (set the moment the fill prime finishes — never behind that
+        direction's system-build compile — and unconditionally when the
+        thread exits); the main thread must not compile the same program
+        concurrently.  Logs to stderr on timeout."""
+        d = self._primary if direction is None else direction
+        self._wait(self.fill_events.get(d), "fill", d, timeout)
+
+    def wait_build(self, direction=None, timeout: float = 600.0):
+        """Block until ``direction``'s system-build executable is primed
+        (for the primary direction that happens inside the main prime;
+        ``join()`` already covers it).  Call before ``_build_system`` for a
+        LATER direction of a shared ``direction=All`` handle."""
+        d = self._primary if direction is None else direction
+        self._wait(self.build_events.get(d), "system-build", d, timeout)
 
     def join(self, timeout: float = 600.0):
         """Wait until every program the FIRST direction's solve dispatches
         is primed.  After ``main_ready`` the thread only compiles
         later-direction fill/build executables — disjoint from the FIRST
         direction's solve, safe to overlap; a LATER direction's call must
-        additionally ``wait_fill(direction)`` before its system build (the
-        per-direction event gates both its fill and build primes)."""
+        additionally ``wait_build(direction)`` before its system build."""
         if not self.main_ready.wait(timeout):
             self._thread.join(timeout)
 
@@ -444,9 +481,11 @@ def maybe_start(shape, direction, vlo, vhi, dx, storage_name, hi_plane, mesh,
         return None
     if shape[0] * shape[1] * shape[2] < 192 ** 3:
         return None
-    extra = _norm_extra_dirs(extra_dirs)
-    return SolverWarmup(shape, direction, float(vlo), float(vhi), tuple(dx),
-                        storage_name, hi_plane, mesh, precond, precond_opts,
-                        method, inner_dtype, outer_dtype, float(eps),
-                        problem, device_percolation,
-                        tuple(e for e in extra if e[0] != direction))
+    extra = tuple(e for e in _norm_extra_dirs(extra_dirs)
+                  if e[0] != direction)
+    warm_args = (shape, direction, float(vlo), float(vhi), tuple(dx),
+                 storage_name, hi_plane, mesh, precond, precond_opts,
+                 method, inner_dtype, outer_dtype, float(eps),
+                 problem, device_percolation, extra)
+    return SolverWarmup(warm_args, primary_direction=direction,
+                        extra_dirs=extra)

@@ -24,8 +24,11 @@ hypre.eps = 1e-9
 verbose = 1
 EOF
 OPENIMPALA_PLATFORM=cpu timeout 600 python -m openimpala_tpu.diffusion \
-    "$SMOKE/inputs" calculation_method=flow_through
+    "$SMOKE/inputs" calculation_method=flow_through | tee "$SMOKE/smoke.log"
 grep -q "Tortuosity_X" "$SMOKE/results/results.txt"
+# the default solver_type=FlexGMRES maps onto CG; at verbose>=1 the CLI
+# must say so (VERDICT r4: no silent algorithm swap)
+grep -q "solver_type=FlexGMRES runs preconditioned CG" "$SMOKE/smoke.log"
 OPENIMPALA_PLATFORM=cpu timeout 600 python -m openimpala_tpu.diffusion \
     "$SMOKE/inputs" calculation_method=homogenization
 

@@ -268,25 +268,33 @@ def test_warmup_extra_dirs_event_protocol():
     from openimpala_tpu.solve import warmup
 
     fe = {d: threading.Event() for d in (0, 1, 2)}
+    be = {d: threading.Event() for d in (0, 1, 2)}
     mr = threading.Event()
     warmup._warm((16, 8, 8), 0, -1.0, 1.0, (1.0, 1.0, 1.0), "float32",
                  None, None, "auto", None, "cg", jnp.float32, jnp.float64,
-                 1e-9, "flow", True, (1, 2), fill_events=fe, main_ready=mr)
+                 1e-9, "flow", True, (1, 2), fill_events=fe, build_events=be,
+                 main_ready=mr)
     assert mr.is_set()
     assert all(ev.is_set() for ev in fe.values())
+    assert all(ev.is_set() for ev in be.values())
 
-    # the threaded wrapper: same protocol end to end, plus wait_fill on an
-    # unregistered direction returning immediately
-    w = warmup.SolverWarmup((16, 8, 8), 0, -1.0, 1.0, (1.0, 1.0, 1.0),
-                            "float32", None, None, "auto", None, "cg",
-                            jnp.float32, jnp.float64, 1e-9, "flow", True,
-                            (1, 2))
+    # the threaded wrapper: same protocol end to end, plus wait_fill /
+    # wait_build on an unregistered direction returning immediately
+    w = warmup.SolverWarmup(
+        ((16, 8, 8), 0, -1.0, 1.0, (1.0, 1.0, 1.0),
+         "float32", None, None, "auto", None, "cg",
+         jnp.float32, jnp.float64, 1e-9, "flow", True, (1, 2)),
+        primary_direction=0, extra_dirs=(1, 2))
     w.wait_fill(2)
     w.wait_fill()          # primary
     w.wait_fill(direction=99)  # unregistered: no event, returns at once
+    w.wait_build(2)
+    w.wait_build()
+    w.wait_build(direction=99)
     w.join()
     assert w.main_ready.is_set()
     assert all(ev.is_set() for ev in w.fill_events.values())
+    assert all(ev.is_set() for ev in w.build_events.values())
 
 
 def test_warmup_primes_real_mask_avals(monkeypatch):
