@@ -78,6 +78,10 @@ class EffectiveDiffusivityResult:
     rel_res: tuple
     volume_fraction: float  # active-phase VF (D=1 fraction)
     chi: tuple = None  # (chi_x, chi_y, chi_z) fields if return_fields
+    # if return_history: tuple of solve.ResidualHistory — one per direction
+    # on the sequential path, a 1-tuple with lane-VECTOR residual entries
+    # when the three chi solves ran as lockstep lanes (solve/lanes.py)
+    history: tuple = None
 
 
 def effective_diffusivity(
@@ -92,6 +96,7 @@ def effective_diffusivity(
     inner_dtype=jnp.float32,
     dtype=jnp.float64,
     return_fields: bool = False,
+    return_history: bool = False,
     verbose: int = 0,
     mesh="auto",
     lanes: bool | str = "auto",
@@ -180,10 +185,15 @@ def effective_diffusivity(
                                       jnp.dtype(storage).name)[0]
                    for k in range(3)]
         lsys = LaneSystem.from_systems(systems)
+        lane_hist = None
+        if return_history:
+            from ..solve.cg import ResidualHistory
+
+            lane_hist = ResidualHistory()
         x_full, info = solve_system_lanes(
             lsys, eps=eps, maxiter=maxiter, precond=precond,
             inner_dtype=inner_dtype, outer_dtype=dtype,
-            precond_opts=precond_opts, verbose=verbose)
+            precond_opts=precond_opts, verbose=verbose, history=lane_hist)
         iters = tuple(int(v) for v in np.asarray(info.iterations))
         rels = tuple(float(v) for v in np.asarray(info.rel_res))
         convs = tuple(bool(v) for v in np.asarray(info.converged))
@@ -202,9 +212,10 @@ def effective_diffusivity(
             deff=deff, converged=converged, iterations=iters,
             rel_res=rels, volume_fraction=vf,
             chi=tuple(chis) if return_fields else None,
+            history=(lane_hist,) if return_history else None,
         )
 
-    chis, iters, rels, convs = [], [], [], []
+    chis, iters, rels, convs, hists = [], [], [], [], []
     M = None
     for k in range(3):
         system, x0 = _build_cell_system(active, k, tuple(dx),
@@ -215,10 +226,16 @@ def effective_diffusivity(
             # — so the preconditioner hierarchy builds once and is shared by
             # all three chi solves
             M = make_precond(system, precond, precond_opts, method)
+        hist_k = None
+        if return_history:
+            from ..solve.cg import ResidualHistory
+
+            hist_k = ResidualHistory()
+        hists.append(hist_k)
         chi_k, info = solve_system(
             system, x0, eps=eps, maxiter=maxiter, method=method, precond=M,
             inner_dtype=inner_dtype, outer_dtype=dtype, precond_opts=precond_opts,
-            verbose=verbose,
+            verbose=verbose, history=hist_k,
         )
         chis.append(chi_k)
         iters.append(int(info.iterations))
@@ -240,6 +257,7 @@ def effective_diffusivity(
         deff=deff, converged=converged, iterations=tuple(iters),
         rel_res=tuple(rels), volume_fraction=vf,
         chi=tuple(chis) if return_fields else None,
+        history=tuple(hists) if return_history else None,
     )
 
 

@@ -69,6 +69,10 @@ class TortuosityResult:
     direction: int
     phi: object = None  # potential field (if return_fields)
     active: object = None  # percolation mask (if return_fields)
+    # solve.ResidualHistory (if return_history): outer per-round + inner
+    # per-chunk residual trace — the structured replacement for scraping
+    # verbose output (SURVEY §5)
+    history: object = None
 
 
 def prime_solver(shape, direction, *, vlo: float = -1.0, vhi: float = 1.0,
@@ -143,6 +147,7 @@ def tortuosity(
     inner_dtype=jnp.float32,
     dtype=jnp.float64,
     return_fields: bool = False,
+    return_history: bool = False,
     verbose: int = 0,
     mesh="auto",
     original_shape=None,
@@ -318,11 +323,16 @@ def tortuosity(
             jnp.dtype(storage).name, hi_plane,
         )
 
+    hist = None
+    if return_history:
+        from ..solve.cg import ResidualHistory
+
+        hist = ResidualHistory()
     with phase_timer("tortuosity/solve"):
         x_full, info = solve_system(
             system, x0_free, eps=eps, maxiter=maxiter, method=method, precond=precond,
             inner_dtype=inner_dtype, outer_dtype=dtype, precond_opts=precond_opts,
-            verbose=verbose,
+            verbose=verbose, history=hist,
         )
     if solve_shape != shape:
         # crop the padding back off; all downstream quantities (fluxes,
@@ -345,6 +355,7 @@ def tortuosity(
             nanres, iterations=iterations, rel_res=rel_res,
             phi=x_full if return_fields else None,
             active=active if return_fields else None,
+            history=hist,
         )
 
     with phase_timer("tortuosity/flux"):
@@ -387,4 +398,5 @@ def tortuosity(
         converged=converged, direction=direction,
         phi=x_full if return_fields else None,
         active=active if return_fields else None,
+        history=hist,
     )

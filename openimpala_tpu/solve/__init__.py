@@ -19,7 +19,7 @@ converged flag) instead of raising — numerical failure propagates as
 NaN/flags exactly like the reference (``TortuosityHypre.cpp:687-708``).
 """
 
-from .cg import cg, SolveResult, jacobi_preconditioner
+from .cg import cg, ResidualHistory, SolveResult, jacobi_preconditioner
 from .refine import solve_system
 from .fgmres import fgmres
 from .preconditioners import make_multigrid_preconditioner
@@ -27,6 +27,7 @@ from .preconditioners import make_multigrid_preconditioner
 __all__ = [
     "cg",
     "fgmres",
+    "ResidualHistory",
     "SolveResult",
     "jacobi_preconditioner",
     "solve_system",

@@ -26,6 +26,47 @@ class SolveResult:
     converged: jax.Array
 
 
+@dataclasses.dataclass
+class ResidualHistory:
+    """Opt-in convergence trace (SURVEY §5 "residual-history return values"
+    — the structured replacement for scraping the ``verbose >= 2`` output,
+    which mirrors Hypre's iteration log ``TortuosityHypre.cpp:700-704``).
+
+    Plain host-side lists — deliberately NOT a pytree field of SolveResult
+    (whose leaves cross jit boundaries):
+
+    * ``inner``: ``(cumulative_krylov_iteration, rel_res)`` at every point
+      the host observes the residual — per 16-iteration chunk for the
+      chunked MG-PCG loop, per restart cycle for FGMRES, per check for the
+      host loop; a fully fused ``lax.while_loop`` solve contributes only
+      its final point (nothing inside one dispatch is host-observable).
+      Iteration counts continue across refinement rounds.
+    * ``outer``: ``(refine_round, rel_res)`` per mixed-precision refinement
+      round in the outer dtype (solve/refine.py), including the final
+      residual of the returned solution.
+    """
+
+    inner: list = dataclasses.field(default_factory=list)
+    outer: list = dataclasses.field(default_factory=list)
+    # running Krylov-iteration offset: solve/refine.py sets it to the
+    # accumulated iteration count before each refinement round so ``inner``
+    # stays cumulative across rounds
+    _base: int = 0
+
+    @staticmethod
+    def _val(rel):
+        rel = np.asarray(rel)
+        # lane solves observe a residual VECTOR per point (solve/lanes.py)
+        return (float(rel) if rel.ndim == 0
+                else tuple(float(v) for v in rel.ravel()))
+
+    def record_inner(self, it: int, rel):
+        self.inner.append((self._base + int(it), self._val(rel)))
+
+    def record_outer(self, round_i: int, rel):
+        self.outer.append((int(round_i), self._val(rel)))
+
+
 def jacobi_preconditioner(system):
     """Diagonal scaling as a pytree (see solve/preconditioners.py — closure
     preconditioners embed their arrays as HLO constants)."""
@@ -143,13 +184,14 @@ def _rel0(r0, denom, eps):
 
 
 def _cg_chunked_loop(system, r0, denom, eps, maxiter: int, precond,
-                     chunk: int = 16, verbose: int = 0):
+                     chunk: int = 16, verbose: int = 0, history=None):
     """Host-driven PCG advancing ``chunk`` fused iterations per dispatch
     (see _cg_chunk); convergence checked on the host between chunks.
     The prologue is a single tiny reduction — all preconditioner work
     happens inside the chunk program.  ``verbose >= 2`` prints the
     per-chunk residual trace (Hypre's per-iteration logging analogue,
-    ``TortuosityHypre.cpp:700-704``)."""
+    ``TortuosityHypre.cpp:700-704``); ``history`` records the same points
+    structurally (ResidualHistory)."""
     dtype = r0.dtype
     denom = jnp.asarray(denom, dtype)
     rel0, done0 = _rel0(r0, denom, jnp.asarray(eps, dtype))
@@ -161,6 +203,8 @@ def _cg_chunked_loop(system, r0, denom, eps, maxiter: int, precond,
         it = int(it_v)
         if verbose >= 2:
             print(f"    cg it={it:5d}  rel_res={rel_v:.6e}")
+        if history is not None:
+            history.record_inner(it, rel_v)
         if done_v > 0 or it >= maxiter:  # may overshoot by < chunk
             break
     z, r, p, rz, it, rel, done = state
@@ -185,7 +229,7 @@ def _cg_step(system, precond, z, r, p, rz):
 
 
 def _cg_host_loop(system, r0, denom, eps, maxiter: int, precond,
-                  check_every: int = 10):
+                  check_every: int = 10, history=None):
     """PCG with the iteration driven from the host.
 
     Functionally identical to ``_cg_loop`` but each iteration is its own
@@ -211,6 +255,8 @@ def _cg_host_loop(system, r0, denom, eps, maxiter: int, precond,
             z, r, p, rz, rr, ok = _cg_step(system, precond, z, r, p, rz)
         it += steps
         rel = float(jnp.sqrt(rr)) / denom_v
+        if history is not None:
+            history.record_inner(it, rel)
         if not bool(ok) or not (rel == rel):  # breakdown or NaN
             break
     return SolveResult(
@@ -226,13 +272,15 @@ HOST_LOOP_THRESHOLD_CELLS = 192 ** 3
 
 
 def cg(system, r0, denom, eps, maxiter: int, precond=None,
-       host_loop: bool | None = None, verbose: int = 0) -> SolveResult:
+       host_loop: bool | None = None, verbose: int = 0,
+       history: ResidualHistory | None = None) -> SolveResult:
     """Solve ``A z = r0`` on the free set with z0 = 0.
 
     ``denom`` is the relative-residual denominator — pass ``system.b_norm``
     to reproduce Hypre's ``||r||/||b|| <= eps`` criterion
     (``TortuosityHypre.cpp:686-688``).  A zero denominator falls back to
-    ``||r0||`` (and to 1 when r0 is zero too).
+    ``||r0||`` (and to 1 when r0 is zero too).  ``history``: opt-in
+    ResidualHistory filled with the host-observed residual trace.
     """
     from .preconditioners import (
         GalerkinMGPreconditioner, IdentityPreconditioner, MultigridPreconditioner,
@@ -252,9 +300,14 @@ def cg(system, r0, denom, eps, maxiter: int, precond=None,
         # (the remote runtime dies on very long fused MG programs) and the
         # fine-level Pallas kernels are never nested inside a while_loop
         return _cg_chunked_loop(system, r0, denom, eps, int(maxiter), precond,
-                                verbose=verbose)
+                                verbose=verbose, history=history)
     if host_loop is None:
         host_loop = isinstance(precond, MultigridPreconditioner) and big_tpu
     if host_loop:
-        return _cg_host_loop(system, r0, denom, eps, int(maxiter), precond)
-    return _cg_loop(system, r0, denom, eps, int(maxiter), precond)
+        return _cg_host_loop(system, r0, denom, eps, int(maxiter), precond,
+                             history=history)
+    res = _cg_loop(system, r0, denom, eps, int(maxiter), precond)
+    if history is not None:
+        # fully fused dispatch: only the final point is host-observable
+        history.record_inner(int(res.iterations), float(res.rel_res))
+    return res

@@ -175,7 +175,7 @@ def _fgmres_loop(system, r0, denom, eps, maxiter: int, precond, restart: int,
 
 def _fgmres_host_loop(system, r0, denom, eps, maxiter: int, precond,
                       restart: int, stall_break: bool = True,
-                      verbose: int = 0):
+                      verbose: int = 0, history=None):
     """Restart cycles dispatched one at a time, convergence on the host.
 
     Measured dead ends (r4, 512^3) — don't re-derive:
@@ -203,6 +203,8 @@ def _fgmres_host_loop(system, r0, denom, eps, maxiter: int, precond,
         rel_new = float(rnorm) / denom_v
         if verbose >= 2:
             print(f"    fgmres it={it:5d}  rel_res={rel_new:.6e}")
+        if history is not None:
+            history.record_inner(it, rel_new)  # one point per restart cycle
         if not (rel_new == rel_new):  # NaN breakdown
             rel = rel_new
             break
@@ -273,11 +275,14 @@ def _auto_restart(r0, restart: int) -> int:
 
 
 def fgmres(system, r0, denom, eps, maxiter: int, precond=None,
-           restart: int = 20, stall_break: bool = True, verbose: int = 0):
+           restart: int = 20, stall_break: bool = True, verbose: int = 0,
+           history=None):
     """Solve ``A z = r0`` (free set, z0=0) with restarted flexible GMRES.
 
     ``stall_break``: arm the two-cycle plateau break (pass True only when an
-    iterative-refinement outer loop exists to re-scale and continue)."""
+    iterative-refinement outer loop exists to re-scale and continue).
+    ``history``: opt-in ResidualHistory (one inner point per restart cycle
+    on the host-loop path; final point only on the fused path)."""
     from .preconditioners import IdentityPreconditioner
 
     if precond is None:
@@ -288,6 +293,9 @@ def fgmres(system, r0, denom, eps, maxiter: int, precond=None,
     if jax.default_backend() == "tpu" and r0.size >= 192 ** 3:
         return _fgmres_host_loop(system, r0, denom, eps, int(maxiter),
                                  precond, restart, stall_break=stall_break,
-                                 verbose=verbose)
-    return _fgmres_loop(system, r0, denom, eps, int(maxiter), precond,
-                        int(restart), stall_break=stall_break)
+                                 verbose=verbose, history=history)
+    res = _fgmres_loop(system, r0, denom, eps, int(maxiter), precond,
+                       int(restart), stall_break=stall_break)
+    if history is not None:
+        history.record_inner(int(res.iterations), float(res.rel_res))
+    return res

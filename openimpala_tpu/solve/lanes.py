@@ -181,7 +181,8 @@ def _rel0_lanes(r0, denom, eps):
 
 
 def cg_lanes(lsys: LaneSystem, r0, denom, eps, maxiter: int, precond,
-             chunk: int | None = None, verbose: int = 0) -> SolveResult:
+             chunk: int | None = None, verbose: int = 0,
+             history=None) -> SolveResult:
     """Lockstep PCG on ``(L, ...)`` state; host-driven chunked dispatches
     (works on every backend; on TPU it is also the only safe shape for MG
     preconditioners — see ``cg()``'s dispatch rationale).  Returns a
@@ -205,6 +206,8 @@ def cg_lanes(lsys: LaneSystem, r0, denom, eps, maxiter: int, precond,
         if verbose >= 2:
             rels = ", ".join(f"{float(v):.3e}" for v in rels_v)
             print(f"    cg-lanes it={int(its.max()):5d}  rel_res=[{rels}]")
+        if history is not None:
+            history.record_inner(int(its.max()), rels_v)
         if bool(dones.all()) or int(its.max()) >= maxiter:
             break
     z, r, p, rz, it, rel, done = state
@@ -233,6 +236,7 @@ def solve_system_lanes(
     outer_dtype=jnp.float64,
     precond_opts=None,
     verbose: int = 0,
+    history=None,
 ):
     """Solve all lanes to ``||b_i - A x_i|| / ||b_i|| <= eps`` with the
     mixed-precision refinement of ``solve/refine.py::solve_system`` run in
@@ -254,7 +258,7 @@ def solve_system_lanes(
             jnp.zeros(lsys.r0_b.shape, storage_dtype))
         res = cg_lanes(lsys, r0, lsys.b_norm, eps, maxiter,
                        make_precond(lsys.base(), precond, precond_opts),
-                       verbose=verbose)
+                       verbose=verbose, history=history)
         return lsys.assemble_solution(res.z), res
 
     if jnp.dtype(storage_dtype) != jnp.dtype(inner_dtype):
@@ -291,6 +295,8 @@ def solve_system_lanes(
         if verbose >= 2:
             rels = ", ".join(f"{v:.3e}" for v in rel)
             print(f"  refine round (lanes): outer rel_res=[{rels}]")
+        if history is not None:
+            history.record_outer(round_i, rel)
         if bool((rel <= eps).all()):
             break
         if _lanes_stalled(rel, prev_rel, eps):
@@ -306,9 +312,11 @@ def solve_system_lanes(
         need = float(eps / worst) * 0.3 if worst > 0 else inner_eps
         round_eps = min(max(inner_eps, need), 0.099)
         with phase_timer("solve/inner_round"):
+            if history is not None:
+                history._base = int(np.asarray(total_iters).max())
             inner = cg_lanes(lsys, r_lo, jnp.ones((L,), inner_dtype),
                              round_eps, min(budget, int(inner_round_cap)),
-                             M_lo, verbose=verbose)
+                             M_lo, verbose=verbose, history=history)
             z_total = _accumulate_lanes(z_total, scale, inner.z)
             total_iters = total_iters + inner.iterations
             budget -= int(np.asarray(inner.iterations).max())
@@ -318,6 +326,8 @@ def solve_system_lanes(
         r_hi, scale = _outer_residual_lanes(lsys, z_total,
                                             jnp.dtype(outer_dtype).name)
         rel = np.asarray(scale) / denom
+        if history is not None:
+            history.record_outer(-1, rel)
     x_full = _assemble_hi_lanes(lsys, z_total, jnp.dtype(outer_dtype).name)
     rel_v = jnp.asarray(rel, outer_dtype)
     info = SolveResult(z=z_total, iterations=total_iters, rel_res=rel_v,

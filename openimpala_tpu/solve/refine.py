@@ -36,15 +36,15 @@ from ..utils.profiling import phase_timer
 
 
 def _krylov(method: str, system, r0, denom, eps, maxiter, precond,
-            refined: bool = True, verbose: int = 0):
+            refined: bool = True, verbose: int = 0, history=None):
     if method in ("cg", "pcg"):
         return cg(system, r0, denom, eps, maxiter, precond=precond,
-                  verbose=verbose)
+                  verbose=verbose, history=history)
     if method in ("flexgmres", "gmres", "fgmres"):
         # the FGMRES plateau break is only safe when an iterative-refinement
         # outer loop exists to re-scale the residual and continue (``refined``)
         return fgmres(system, r0, denom, eps, maxiter, precond=precond,
-                      stall_break=refined, verbose=verbose)
+                      stall_break=refined, verbose=verbose, history=history)
     raise ValueError(f"unknown Krylov method: {method}")
 
 
@@ -142,8 +142,13 @@ def solve_system(
     outer_dtype=jnp.float64,
     precond_opts=None,
     verbose: int = 0,
+    history=None,
 ):
     """Solve the StencilSystem to ``||b - A x|| / ||b_full|| <= eps``.
+
+    ``history``: opt-in ``ResidualHistory`` — per-round outer residuals and
+    the host-observed inner (per-chunk / per-cycle) trace, cumulative
+    iteration counts across refinement rounds (SURVEY §5).
 
     The system should be STORED in ``inner_dtype`` (or the final dtype when
     ``inner_dtype is None``).  Returns ``(x_full, info)`` with ``x_full`` in
@@ -168,7 +173,7 @@ def solve_system(
         r0 = system.initial_residual(x0_free.astype(storage_dtype))
         res = _krylov(method, system, r0, system.b_norm, eps, maxiter,
                       make_precond(system, precond, precond_opts, method),
-                      refined=False, verbose=verbose)
+                      refined=False, verbose=verbose, history=history)
         x_full = system.assemble_solution(x0_free + res.z)
         return x_full, res
 
@@ -214,6 +219,8 @@ def solve_system(
         stale = False
         if verbose >= 2:
             print(f"  refine round: outer rel_res={float(rel):.6e}")
+        if history is not None:
+            history.record_outer(round_i, rel)
         if bool(rel <= eps):
             break
         if bool(rel >= prev_rel * 0.5) and bool(jnp.isfinite(prev_rel)):
@@ -232,10 +239,13 @@ def solve_system(
         need = float(eps / rel) * 0.3 if rel > 0 else inner_eps
         round_eps = min(max(inner_eps, need), 0.099)
         with phase_timer("solve/inner_round"):
+            if history is not None:
+                history._base = int(total_iters)
             inner = _krylov(method, system, r_lo,
                             jnp.asarray(1.0, inner_dtype),
                             round_eps, min(budget, int(inner_round_cap)),
-                            M_lo, refined=True, verbose=verbose)
+                            M_lo, refined=True, verbose=verbose,
+                            history=history)
             z_total = _accumulate(z_total, scale, inner.z)
             total_iters = total_iters + inner.iterations
             budget -= int(inner.iterations)
@@ -248,6 +258,8 @@ def solve_system(
         # apply + norm + fetch per solve)
         r_hi, scale = _outer_residual(system, z_total, jnp.dtype(outer_dtype).name)
         rel = float(scale) / denom
+        if history is not None:
+            history.record_outer(-1, rel)  # final (budget-exhausted) point
     x_full = _assemble_hi(system, z_total, jnp.dtype(outer_dtype).name)
     info = SolveResult(
         z=z_total,

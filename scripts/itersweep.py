@@ -78,13 +78,19 @@ system = make_tortuosity_system(jnp.asarray(active), 0, -1.0, 1.0,
 x0 = jnp.where(system.free, linear_ramp(active.shape, 0, -1.0, 1.0,
                                         jnp.float32), 0.0)
 
+from openimpala_tpu.solve import ResidualHistory
+
 for name in names:
     opts = VARIANTS[name]
+    hist = ResidualHistory()  # structured convergence trace (no verbose
+    # scraping): hist.inner = per-chunk (iteration, rel), hist.outer =
+    # per-refinement-round residuals
     t0 = time.time()
     x_full, info = solve_system(system, x0, eps=1e-9, maxiter=20000,
                                 method="cg", precond="gmg",
                                 inner_dtype=jnp.float32,
-                                outer_dtype=jnp.float64, precond_opts=opts)
+                                outer_dtype=jnp.float64, precond_opts=opts,
+                                history=hist)
     t_first = time.time() - t0
     it1 = int(info.iterations)
     # warm second solve: pure iterate time
@@ -121,5 +127,7 @@ for name in names:
         "t_first_s": round(t_first, 2), "t_warm_s": round(t_warm, 2),
         "ms_per_iter_warm": round(t_warm / max(int(info.iterations), 1) * 1e3, 1),
         "chunk_exe_mib": size,
+        "outer_residuals": [[r, f"{v:.3e}"] for r, v in hist.outer],
+        "inner_trace": [[it, f"{v:.3e}"] for it, v in hist.inner],
     }))
 log("DONE")

@@ -128,6 +128,20 @@ class TestTortuosity:
         assert a.value == pytest.approx(b.value, rel=1e-6)
         assert a.value == pytest.approx(c.value, rel=1e-6)
 
+    def test_return_history(self, blob_phase):
+        """Opt-in residual history on the tortuosity driver (SURVEY §5):
+        outer refinement-round residuals end at the converged point."""
+        r = tortuosity(blob_phase, 1, "X", precond="jacobi",
+                       inner_dtype=jnp.float32, return_history=True)
+        assert r.converged and r.history is not None
+        assert r.history.inner and r.history.outer
+        assert r.history.outer[-1][1] == pytest.approx(r.rel_res)
+        assert r.history.outer[-1][1] <= 1e-9
+        # default stays off
+        off = tortuosity(blob_phase, 1, "X", precond="jacobi",
+                         inner_dtype=None)
+        assert off.history is None
+
     def test_phase_zero_analysis(self, blob_phase):
         r = tortuosity(blob_phase, 0, "X", precond="jacobi", inner_dtype=None)
         # phase 0 is the minority phase here; may or may not percolate, but
@@ -183,6 +197,27 @@ class TestEffectiveDiffusivity:
         b = effective_diffusivity(blob_phase, 1, precond="mg",
                                   inner_dtype=jnp.float32)
         np.testing.assert_allclose(a.deff, b.deff, atol=1e-8)
+
+    def test_return_history(self, blob_phase):
+        """Opt-in residual history (SURVEY §5): one trace per direction on
+        the sequential path, a single lane-vector trace when the three chi
+        solves ran as lockstep lanes."""
+        res = effective_diffusivity(blob_phase, 1, precond="jacobi",
+                                    inner_dtype=jnp.float32,
+                                    return_history=True)
+        assert res.converged and res.history is not None
+        if len(res.history) == 1:  # lanes path
+            h = res.history[0]
+            assert h.inner and all(isinstance(rel, tuple) and len(rel) == 3
+                                   for _, rel in h.inner)
+        else:
+            assert len(res.history) == 3
+            for h in res.history:
+                assert h.inner and h.outer
+        # default stays off
+        off = effective_diffusivity(blob_phase, 1, precond="jacobi",
+                                    inner_dtype=None)
+        assert off.history is None
 
 
 class TestTortuosityDirect:

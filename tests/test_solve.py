@@ -583,3 +583,78 @@ class TestLanes:
         # lane 1 still halving -> keep refining
         assert not _lanes_stalled(np.array([5e-10, 4e-6, 8e-6]),
                                   np.array([5e-10, 9e-6, 9e-6]), eps)
+
+
+class TestResidualHistory:
+    """solve.ResidualHistory — the structured convergence trace (SURVEY §5
+    "residual-history return values", the replacement for scraping the
+    ``verbose >= 2`` output that mirrors ``TortuosityHypre.cpp:700-704``)."""
+
+    def test_solve_system_records_rounds_and_cumulative_iters(self, problem):
+        from openimpala_tpu.solve import ResidualHistory
+
+        system, x0, _ = problem
+        hist = ResidualHistory()
+        x, info = solve_system(system, x0, eps=1e-9, maxiter=20000,
+                               method="cg", precond="jacobi",
+                               inner_dtype=jnp.float32, history=hist)
+        assert bool(info.converged)
+        # one outer point per refinement round, monotone round index,
+        # converged point last and equal to the returned rel_res
+        rounds = [r for r, _ in hist.outer]
+        assert rounds == sorted(rounds)
+        assert len(hist.outer) >= 2  # f32 inner can't hit 1e-9 in round 0
+        assert hist.outer[-1][1] <= 1e-9
+        assert hist.outer[-1][1] == pytest.approx(float(info.rel_res))
+        # inner trace: cumulative across rounds, final count == iterations
+        its = [it for it, _ in hist.inner]
+        assert its == sorted(its)
+        assert its[-1] == int(info.iterations)
+
+    def test_chunked_loop_records_per_chunk(self, problem):
+        from openimpala_tpu.solve.cg import ResidualHistory, _cg_chunked_loop
+
+        system, x0, _ = problem
+        r0 = system.initial_residual(x0)
+        hist = ResidualHistory()
+        res = _cg_chunked_loop(system, r0, system.b_norm, 1e-10, 5000,
+                               jacobi_preconditioner(system), history=hist)
+        assert bool(res.converged)
+        # one host-observed point per 16-iteration chunk
+        assert len(hist.inner) >= 2
+        its = [it for it, _ in hist.inner]
+        assert its == sorted(its)
+        assert its[-1] == int(res.iterations)
+        assert hist.inner[-1][1] == pytest.approx(float(res.rel_res))
+
+    def test_fused_path_records_final_point_only(self, problem):
+        from openimpala_tpu.solve import ResidualHistory
+
+        system, x0, _ = problem
+        r0 = system.initial_residual(x0)
+        hist = ResidualHistory()
+        res = cg(system, r0, system.b_norm, 1e-10, 5000, history=hist)
+        assert hist.inner == [(int(res.iterations), float(res.rel_res))]
+
+    def test_lanes_history_records_vectors(self, rng):
+        """Lane solves observe a residual VECTOR per host point."""
+        from openimpala_tpu.ops.stencil import make_cell_problem_system
+        from openimpala_tpu.solve.cg import ResidualHistory
+        from openimpala_tpu.solve.lanes import LaneSystem, solve_system_lanes
+
+        active = jnp.asarray(rng.random((12, 10, 8)) < 0.7)
+        systems = [make_cell_problem_system(active, k, (1.0, 1.0, 1.0),
+                                            dtype=np.float32)
+                   for k in range(3)]
+        lsys = LaneSystem.from_systems(systems)
+        hist = ResidualHistory()
+        x, info = solve_system_lanes(lsys, eps=1e-9, maxiter=5000,
+                                     precond="jacobi",
+                                     inner_dtype=jnp.float32,
+                                     outer_dtype=jnp.float64, history=hist)
+        assert bool(np.asarray(info.converged).all())
+        assert hist.outer and hist.inner
+        for _, rel in hist.outer + hist.inner:
+            assert isinstance(rel, tuple) and len(rel) == 3
+        final = np.asarray(hist.outer[-1][1])
+        assert (final <= 1e-9).all()
