@@ -27,11 +27,15 @@ import numpy as np
 import jax.image
 from openimpala_tpu.props.tortuosity import tortuosity
 
-n = int(os.environ["N"])
+dims = tuple(int(v) for v in os.environ["N"].split("x"))
+if len(dims) == 1:
+    dims = dims * 3
+n = dims[0]
 rng = np.random.default_rng(0)
-coarse = rng.standard_normal((n // 8,) * 3).astype(np.float32)
-field = jax.image.resize(jnp.asarray(coarse), (n,) * 3, method="trilinear")
-thr = jnp.quantile(field.reshape(-1)[:: max(1, n**3 // 2_000_000)], 0.4)
+coarse = rng.standard_normal([max(2, d // 8) for d in dims]).astype(np.float32)
+field = jax.image.resize(jnp.asarray(coarse), dims, method="trilinear")
+ncells = int(np.prod(dims))
+thr = jnp.quantile(field.reshape(-1)[:: max(1, ncells // 2_000_000)], 0.4)
 phase = np.asarray((field < thr).astype(np.int8))
 del field, coarse
 
@@ -47,20 +51,20 @@ try:
         pass
     peak = stats.get("peak_bytes_in_use")
     peak_s = f"{peak/2**30:.2f} GiB" if peak else "n/a"
-    bpc = f"{peak/n**3:.1f}" if peak else "n/a"
-    print(f"ENVELOPE n={n}: t_tau={t:.2f}s tau={r.value:.8f} "
+    bpc = f"{peak/ncells:.1f}" if peak else "n/a"
+    print(f"ENVELOPE n={os.environ["N"]}: t_tau={t:.2f}s tau={r.value:.8f} "
           f"iters={r.iterations} rel={r.rel_res:.2e} conv={r.converged} "
           f"hbm_peak={peak_s} bytes_per_cell={bpc}", flush=True)
 except Exception as e:
     t = time.time() - t0
-    print(f"ENVELOPE n={n}: FAILED after {t:.1f}s: {type(e).__name__}: "
+    print(f"ENVELOPE n={os.environ["N"]}: FAILED after {t:.1f}s: {type(e).__name__}: "
           f"{str(e)[:500]}", flush=True)
     sys.exit(1)
 """
 
 
 def main():
-    sizes = [int(s) for s in os.environ.get("SIZES", "576,640,704").split(",")]
+    sizes = os.environ.get("SIZES", "576,640,704").split(",")
     for n in sizes:
         print(f"=== envelope N={n} ===", flush=True)
         env = dict(os.environ, N=str(n))

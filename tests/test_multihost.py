@@ -57,6 +57,17 @@ WORKER = textwrap.dedent("""
     r2 = tortuosity(arr, 1, 0, eps=1e-9, original_shape=orig_shape)
     if multihost.is_coordinator():
         print(f"TAU2 {{r2.value:.12f}} {{bool(r2.converged)}}", flush=True)
+
+    # homogenisation path (VERDICT r4 #7): the periodic cell problem's
+    # wrap coupling is the collective pattern the flow-through solve never
+    # exercises across processes — full D_eff tensor under multi-process
+    # GSPMD must match the single-process tensor to 1e-9
+    from openimpala_tpu.props.effective_diffusivity import effective_diffusivity
+    e = effective_diffusivity(phase, 1, eps=1e-10, mesh=mesh)
+    if multihost.is_coordinator():
+        import numpy as _np
+        flat = " ".join(f"{{v:.14e}}" for v in _np.asarray(e.deff).ravel())
+        print(f"DEFF {{bool(e.converged)}} {{flat}}", flush=True)
 """)
 
 
@@ -107,3 +118,15 @@ def test_two_process_solve_matches_single(tmp_path):
     assert float(tau) == pytest.approx(ref.value, rel=1e-7)
     # distributed-ingest + device-percolation pipeline agrees too
     assert float(tau2) == pytest.approx(ref.value, rel=1e-7)
+
+    # homogenisation (periodic cell problems) across 2 processes: tensor
+    # match to 1e-9 against the single-process result (VERDICT r4 #7)
+    deff_line = next(l for l in outs[0].splitlines() if l.startswith("DEFF "))
+    parts = deff_line.split()
+    assert parts[1] == "True"
+    deff_multi = np.asarray([float(v) for v in parts[2:]]).reshape(3, 3)
+    from openimpala_tpu.props.effective_diffusivity import effective_diffusivity
+
+    eref = effective_diffusivity(phase, 1, eps=1e-10, mesh=None)
+    np.testing.assert_allclose(deff_multi, np.asarray(eref.deff),
+                               rtol=0, atol=1e-9)
