@@ -255,6 +255,18 @@ def _blocksum(x):
     return _pairsum(_pairsum(_pairsum(x, 2), 1), 0)
 
 
+def _blocksum_axes(x, axes):
+    for ax in sorted(axes, reverse=True):
+        x = _pairsum(x, ax)
+    return x
+
+
+def _prolong_pc_axes(xc, axes):
+    for ax in axes:
+        xc = jnp.repeat(xc, 2, axis=ax)
+    return xc
+
+
 def _face_sum(c, axis):
     """Coarse face conductances: sum the 4 fine faces crossing each coarse
     plane.  Crossing faces along ``axis`` sit at odd fine indices; the other
@@ -285,15 +297,40 @@ def fine_conductances(system) -> "ConductanceLevel":
     return ConductanceLevel(diag=diag, cx=cs[0], cy=cs[1], cz=cs[2])
 
 
-def galerkin_coarsen(level: ConductanceLevel) -> "ConductanceLevel":
+def galerkin_coarsen(level: ConductanceLevel,
+                     axes: tuple = (0, 1, 2)) -> "ConductanceLevel":
+    """Galerkin coarsening by 2 along ``axes`` (semi-coarsening when a
+    strict subset — the Hypre-PFMG/SMG robustness move for anisotropic
+    spacing, reference TortuosityHypre.cpp:671-678: coarsen only the
+    strongly-coupled directions so point smoothing stays effective).
+
+    With piecewise-constant transfers over the coarsened axes the Galerkin
+    operator R A P is exactly another 7-point conductance operator:
+
+    * coarsened axis a: c_H = the fine faces crossing each coarse plane
+      (odd fine index along a), pooled over the OTHER coarsened axes;
+    * un-coarsened axis b: c_H = block-sum over the coarsened axes of the
+      fine faces along b (each fine cell of block I links to its twin in
+      the neighbouring block);
+    * diag_H = blocksum(surplus) + sum of adjacent c_H, as before.
+    """
     c = (level.cx, level.cy, level.cz)
     surplus = level.diag - sum(
         ci + jnp.roll(ci, 1, axis=ax) for ax, ci in enumerate(c)
     )
     # numerical dust: surplus is a sum/difference of exact small floats on
     # the fine level but accumulates roundoff through repeated coarsening
-    surplus_H = _blocksum(jnp.where(level.free, surplus, jnp.zeros((), level.diag.dtype)))
-    cH = [_face_sum(ci, ax) for ax, ci in enumerate(c)]
+    surplus_H = _blocksum_axes(
+        jnp.where(level.free, surplus, jnp.zeros((), level.diag.dtype)), axes)
+    cH = []
+    for ax, ci in enumerate(c):
+        if ax in axes:
+            pooled = ci
+            for a in sorted((a for a in axes if a != ax), reverse=True):
+                pooled = _pairsum(pooled, a)
+            cH.append(_pairsel(pooled, ax, 1))
+        else:
+            cH.append(_blocksum_axes(ci, axes))
     diag_H = surplus_H + sum(
         ci + jnp.roll(ci, 1, axis=ax) for ax, ci in enumerate(cH)
     )
@@ -390,13 +427,16 @@ def _restrict_tri(xf, periodic):
 from functools import partial as _partial
 
 
-@_partial(jax.jit, static_argnames=("n_levels",))
-def _build_hierarchy(system, n_levels: int):
-    """All Galerkin conductance levels in one compiled program."""
+@_partial(jax.jit, static_argnames=("schedule",))
+def _build_hierarchy(system, schedule: tuple):
+    """All Galerkin conductance levels in one compiled program.
+
+    ``schedule[k]`` is the tuple of axes coarsened between level k and
+    level k+1 (level 0 = fine); ``((0,1,2),)*n`` is full coarsening."""
     cur = fine_conductances(system)
     levels = []
-    for _ in range(n_levels):
-        cur = galerkin_coarsen(cur)
+    for axes in schedule:
+        cur = galerkin_coarsen(cur, axes)
         levels.append(cur)
     return tuple(levels)
 
@@ -449,6 +489,12 @@ class GalerkinMGPreconditioner:
                                            metadata=dict(static=True))
     coarse_ratio: float = dataclasses.field(default=4000.0,
                                             metadata=dict(static=True))
+    # per-level coarsening axes (schedule[k] coarsens level k -> k+1);
+    # () means full coarsening at every level (the pre-semi-coarsening
+    # layout).  Derived by ``_schedule_for`` in from_system: a strict
+    # subset of axes at a level is PFMG-style semi-coarsening, engaged
+    # when the spacing anisotropy exceeds ``SEMI_THRESHOLD``.
+    schedule: tuple = dataclasses.field(default=(), metadata=dict(static=True))
 
     # Default shape of the cycle (measured, 512^3 porous blobs at 1e-9 on
     # the v5e — scripts/itersweep.py):
@@ -477,6 +523,59 @@ class GalerkinMGPreconditioner:
     # (reference TortuosityHypre.cpp:671-678) and beats the measured
     # smoothed-aggregation alternative (62, solve/sa.py) without SA's
     # probe-build programs.
+    # spacing-anisotropy gate for semi-coarsening, as a ratio of per-axis
+    # h^2 = 1/w: axes more than SEMI_THRESHOLD x more weakly coupled than
+    # the strongest axis are left un-coarsened at that level.  Measured
+    # (scripts/anisoprobe.py, 160^3 porous blobs, 1e-9): full coarsening
+    # holds to h2 ratio 2 (dx ratio sqrt(2)) but loses monotonically above
+    # (ratio 4: 74 vs 58 iters; 16: 154 vs 74; 64: 343 vs 80), so the gate
+    # sits at 2 — the largest ratio where full coarsening is not yet worse.
+    SEMI_THRESHOLD = 2.0
+
+    @staticmethod
+    def _schedule_for(shape, w, max_levels: int):
+        """Per-level coarsening axes (PFMG-style semi-coarsening).
+
+        Isotropic, fully-coarsenable shapes reproduce the historical
+        ``max_levels - 1`` full coarsenings exactly (same programs, same
+        compile-cache keys).  Under anisotropic spacing only axes within
+        SEMI_THRESHOLD of the strongest coupling (smallest h^2 = 1/w)
+        coarsen, the hierarchy may run up to two extra levels, and
+        coarsening continues past the cell-reduction target until the
+        coarsest grid's longest axis is small enough for the auto-scaled
+        Chebyshev coarse solve to stay at its isotropic-default cost.
+        A side benefit: volumes with one odd/short axis now still coarsen
+        the remaining axes instead of dropping to a single-level cycle.
+        """
+        tau = GalerkinMGPreconditioner.SEMI_THRESHOLD
+        h2 = [1.0 / float(wi) for wi in w]
+        lo = min(h2)
+        h2 = [x / lo for x in h2]
+        shape = list(shape)
+        target = 8.0 ** (max_levels - 1)  # coarsest cells <= fine / target
+        cap = (max_levels - 1) if max(h2) <= tau else (max_levels + 1)
+        schedule = []
+        red = 1.0
+        while len(schedule) < cap:
+            elig = [a for a in range(3) if shape[a] % 2 == 0 and shape[a] >= 8]
+            if not elig:
+                break
+            m = min(h2[a] for a in elig)
+            axes = tuple(a for a in elig if h2[a] <= m * tau)
+            if (red >= target and len(axes) == len(elig)
+                    and max(shape) <= 2.5 * red):
+                # anisotropy resolved, cell target met, and the coarsest
+                # Chebyshev solve (degree ~ 1.6*sqrt(0.25)*max(shape)) costs
+                # <= ~2 fine-matvec equivalents — the isotropic default's
+                # operating point
+                break
+            schedule.append(axes)
+            for a in axes:
+                shape[a] //= 2
+                h2[a] *= 4.0
+                red *= 2.0
+        return tuple(schedule)
+
     @classmethod
     def from_system(cls, system, max_levels: int = 3,
                     pallas_min_cells: int = 64 ** 3, **kw):
@@ -486,25 +585,37 @@ class GalerkinMGPreconditioner:
         # the op-by-op dispatches took ~85 s through the tunnelled TPU
         # runtime at 512^3, and per-level jitted steps still paid ~8
         # dispatch round-trips
-        n_levels = 0
-        shape = system.code.shape
-        while n_levels + 1 < max_levels and _can_coarsen(shape):
-            shape = tuple(s // 2 for s in shape)
-            n_levels += 1
-        if n_levels == 0:
+        schedule = kw.pop("schedule", None)
+        if schedule is None:
+            schedule = cls._schedule_for(system.code.shape, system.w,
+                                         max_levels)
+        schedule = tuple(tuple(a) for a in schedule)
+        shape = list(system.code.shape)
+        for axes in schedule:
+            for a in axes:
+                shape[a] //= 2
+        shape = tuple(shape)
+        if not schedule:
             levels = ()
         elif isinstance(system.code, jax.Array):
             # concrete arrays (and tracers, which subclass jax.Array —
             # from_system then inlines into the surrounding trace)
-            levels = _build_hierarchy(system, n_levels)
+            levels = _build_hierarchy(system, schedule)
         else:
             # ABSTRACT system (ShapeDtypeStruct leaves, solve/warmup.py):
             # AOT-prime the hierarchy-build program without executing it,
             # and derive the level structure by shape inference only — the
             # warm-up thread never touches the device this way
-            _build_hierarchy.lower(system, n_levels).compile()
+            _build_hierarchy.lower(system, schedule).compile()
             levels = jax.eval_shape(
-                _partial(_build_hierarchy, n_levels=n_levels), system)
+                _partial(_build_hierarchy, schedule=schedule), system)
+        kw["schedule"] = schedule
+        if kw.get("transfer") == "tri" and any(
+                a != (0, 1, 2) for a in schedule):
+            raise ValueError(
+                "transfer='tri' requires full coarsening at every level; "
+                f"the derived schedule {schedule} semi-coarsens (anisotropic "
+                "spacing) — use the default 'pc' transfers")
         # conductance levels below ``pallas_min_cells`` pin XLA: each Pallas
         # (shape, mode) pair embeds another Mosaic binary in the serialized
         # executable whose one-time deserialize+upload over the tunnel costs
@@ -629,13 +740,17 @@ class GalerkinMGPreconditioner:
             if self.transfer == "tri":
                 resid = self.fine.resid(x, r)
                 rc = _restrict_tri(resid, self.fine.periodic)
+            elif self._axes(0) != (0, 1, 2):
+                # semi-coarsened first level: fused resid, then block-sum
+                # over the coarsened axes only
+                rc = _blocksum_axes(self.fine.resid(x, r), self._axes(0))
             else:
                 # rc = blocksum(free ? r - A x : 0), one fused pass (R=P^T).
                 # No coarse-free masking needed: resid vanishes on non-free
                 # fine cells and non-free coarse cells have inv_d = 0.
                 rc = self.fine.resid_restrict(x, r)
             ec = self._vcycle(1, rc)
-            x = x + jnp.where(self.fine.free, self._prolong(ec),
+            x = x + jnp.where(self.fine.free, self._prolong(ec, 0),
                               jnp.zeros((), r.dtype))
             return self._fine_smooth(x, r, self.nu2)
 
@@ -658,17 +773,22 @@ class GalerkinMGPreconditioner:
             if self.transfer == "tri":
                 rc = _restrict_tri(resid, self.fine.periodic)
             else:
-                rc = _blocksum(resid)  # R = P^T (sum)
+                rc = _blocksum_axes(resid, self._axes(idx))  # R = P^T (sum)
             coarse_free = self.levels[idx].free
             rc = jnp.where(coarse_free, rc, jnp.zeros((), r.dtype))
             ec = self._vcycle(idx + 1, rc)
-            x = x + jnp.where(free, self._prolong(ec), jnp.zeros((), r.dtype))
+            x = x + jnp.where(free, self._prolong(ec, idx),
+                              jnp.zeros((), r.dtype))
         return self._cond_smooth(lvl, diag, free, x, r, self.nu2)
 
-    def _prolong(self, ec):
+    def _axes(self, idx: int) -> tuple:
+        """Axes coarsened between level ``idx`` and ``idx + 1``."""
+        return self.schedule[idx] if idx < len(self.schedule) else (0, 1, 2)
+
+    def _prolong(self, ec, idx: int):
         if self.transfer == "tri":
             return _prolong_tri(ec, self.fine.periodic)
-        return _prolong_pc(ec)
+        return _prolong_pc_axes(ec, self._axes(idx))
 
     def _cond_smooth(self, lvl, diag, free, x, r, n: int):
         """Coarse-level smoothing: unrolled fused conductance sweeps (never

@@ -415,7 +415,8 @@ def test_gmg_on_uncoarsenable_volume():
     from openimpala_tpu.solve.preconditioners import GalerkinMGPreconditioner
     from reference_oracle import assemble_tortuosity_dense
 
-    shape = (9, 10, 7)
+    shape = (9, 11, 7)  # all odd: no axis is coarsenable (10 would now
+    # semi-coarsen axis 1 — single-axis schedules are allowed since r5)
     rng = np.random.default_rng(7)
     active = rng.random(shape) < 0.75
     active[:, 5, 3] = True  # percolation along X
@@ -658,3 +659,111 @@ class TestResidualHistory:
             assert isinstance(rel, tuple) and len(rel) == 3
         final = np.asarray(hist.outer[-1][1])
         assert (final <= 1e-9).all()
+
+
+class TestSemiCoarsening:
+    """PFMG-style semi-coarsening for anisotropic spacing (VERDICT r4 #2;
+    reference parity target: Hypre SMG/PFMG, TortuosityHypre.cpp:671-678)."""
+
+    def test_schedule_isotropic_reproduces_full_coarsening(self):
+        from openimpala_tpu.solve.preconditioners import GalerkinMGPreconditioner as G
+
+        # the historical max_levels-1 full coarsenings, program-identical
+        assert G._schedule_for((64,) * 3, (1.0, 1.0, 1.0), 3) == \
+            ((0, 1, 2), (0, 1, 2))
+        assert G._schedule_for((100,) * 3, (2.0, 2.0, 2.0), 3) == \
+            ((0, 1, 2), (0, 1, 2))
+        # odd extent stops the axis exactly where _can_coarsen did
+        assert G._schedule_for((64, 64, 25), (1.0,) * 3, 3) == \
+            ((0, 1), (0, 1))  # z never coarsenable; cap = max_levels-1
+
+    def test_schedule_semicoarsens_strong_axis_first(self):
+        from openimpala_tpu.solve.preconditioners import GalerkinMGPreconditioner as G
+
+        # dx=(1,1,0.5): z twice as strongly coupled -> coarsen z alone first
+        assert G._schedule_for((64,) * 3, (1.0, 1.0, 4.0), 3) == \
+            ((2,), (0, 1, 2), (0, 1, 2))
+        # dx=(1,1,4): z weakly coupled -> coarsen the xy plane until h catches up
+        assert G._schedule_for((64,) * 3, (1.0, 1.0, 1.0 / 16.0), 3) == \
+            ((0, 1), (0, 1), (0, 1, 2))
+        # mild ratio (h2 ratio exactly SEMI_THRESHOLD) stays full coarsening
+        assert G._schedule_for((64,) * 3, (1.0, 1.0, 0.5), 3) == \
+            ((0, 1, 2), (0, 1, 2))
+
+    def test_semicoarsened_vcycle_is_symmetric(self):
+        """R = P^T with symmetric smoothing keeps the semi-coarsened V-cycle
+        a symmetric operator, so CG stays valid: <M r1, r2> == <r1, M r2>."""
+        from openimpala_tpu.solve.preconditioners import GalerkinMGPreconditioner
+
+        rng = np.random.default_rng(3)
+        shape = (24, 20, 16)
+        active = rng.random(shape) < 0.7
+        active[:, 3, 3] = True
+        system = make_tortuosity_system(jnp.asarray(active), 0, -1.0, 1.0,
+                                        dx=(1.0, 1.0, 4.0), dtype=jnp.float64)
+        M = GalerkinMGPreconditioner.from_system(system)
+        assert any(axes != (0, 1, 2) for axes in M.schedule)  # premise
+        free = np.asarray(system.free)
+        r1 = jnp.asarray(np.where(free, rng.standard_normal(shape), 0.0))
+        r2 = jnp.asarray(np.where(free, rng.standard_normal(shape), 0.0))
+        import jax
+
+        Mf = jax.jit(M.__call__)
+        a = float(jnp.vdot(Mf(r1), r2))
+        b = float(jnp.vdot(r1, Mf(r2)))
+        assert a == pytest.approx(b, rel=1e-12)
+
+    def test_semicoarsened_gmg_matches_oracle(self):
+        """dx=(1,1,4) flow-through at 1e-9 through the production path
+        (auto schedule -> semi-coarsened hierarchy) matches the dense
+        oracle; the derived schedule actually semi-coarsens."""
+        from openimpala_tpu.solve.preconditioners import GalerkinMGPreconditioner
+        from openimpala_tpu.solve.refine import make_precond
+
+        from openimpala_tpu.ops.floodfill import percolation_mask
+
+        rng = np.random.default_rng(11)
+        shape = (32, 24, 16)
+        phase = (rng.random(shape) < 0.72).astype(np.int32)
+        phase[:, 5, 5] = 1
+        active, _ = percolation_mask(phase, 1, 0)
+        active = np.asarray(active)
+        dx = (1.0, 1.0, 4.0)
+        system = make_tortuosity_system(jnp.asarray(active), 0, -1.0, 1.0,
+                                        dx=dx, dtype=jnp.float32)
+        M = make_precond(system, "gmg")
+        assert isinstance(M, GalerkinMGPreconditioner)
+        assert M.schedule and M.schedule[0] != (0, 1, 2)
+        ramp = linear_ramp(shape, 0, -1.0, 1.0)
+        x0 = jnp.where(system.free, ramp, 0.0).astype(jnp.float32)
+        x_full, info = solve_system(system, x0, eps=1e-9, maxiter=4000,
+                                    precond="gmg", inner_dtype=jnp.float32)
+        assert bool(info.converged)
+        A, b, _ = assemble_tortuosity_dense(active, 0, -1.0, 1.0, dx=dx)
+        x_direct = np.linalg.solve(A, b).reshape(shape)
+        np.testing.assert_allclose(np.asarray(x_full), x_direct, atol=1e-6)
+
+    def test_semicoarsened_gmg_periodic_cell_problem(self):
+        """The homogenisation operator (periodic wrap) under anisotropic dx
+        with the semi-coarsened hierarchy: solution matches the sparse
+        oracle's solve of the same SPD system."""
+        from reference_oracle import assemble_cell_problem_dense
+
+        rng = np.random.default_rng(5)
+        shape = (16, 16, 16)
+        active = rng.random(shape) < 0.75
+        dx = (1.0, 1.0, 4.0)
+        system = make_cell_problem_system(jnp.asarray(active), 2, dx,
+                                          dtype=jnp.float32)
+        x_full, info = solve_system(
+            system, jnp.zeros(shape, jnp.float32), eps=1e-9, maxiter=4000,
+            precond="gmg", inner_dtype=jnp.float32)
+        assert bool(info.converged)
+        A, b = assemble_cell_problem_dense(active, 2, dx=dx)
+        x_direct = np.linalg.lstsq(A, b, rcond=None)[0].reshape(shape)
+        # both are defined up to the constant nullspace on the free set
+        free = np.asarray(system.free)
+        ours = np.asarray(x_full)[free]
+        ref = x_direct[free]
+        np.testing.assert_allclose(ours - ours.mean(), ref - ref.mean(),
+                                   atol=1e-5)
