@@ -253,6 +253,12 @@ def _warm_cell(ones, dx, storage_name, mesh, precond, precond_opts, method,
     shape = active.shape
     n_total = int(shape[0]) * int(shape[1]) * int(shape[2])
     storage = jnp.dtype(storage_name)
+    # NOTE: on a mesh the driver may still choose lockstep lanes (the
+    # use_lanes gate divides by the device count since r5), but sharded
+    # lanes cannot be AOT-primed from plain avals (the programs are
+    # sharding-specialized), so mesh warm-up keeps priming the mono
+    # sharded programs — the hierarchy build and outer residual are shared
+    # either way; the lanes chunk program then compiles on first use.
     lanes = (mesh is None and inner_dtype is not None
              and use_lanes(n_total, 3, method,
                            inner_bytes=jnp.dtype(inner_dtype).itemsize,

@@ -156,6 +156,26 @@ def test_deff_driver_sharded_matches_single(rng):
                                rtol=1e-7, atol=1e-9)
 
 
+def test_deff_sharded_lanes_match_sequential(rng):
+    """Mesh-sharded lockstep lanes (VERDICT r4 #3): the (L, X, Y, Z) lane
+    state rides the GSPMD mesh (lane axis replicated, X sharded) and must
+    reproduce the sequential sharded tensor to 1e-9 — and the single-device
+    tensor, through the full f32+refinement production path."""
+    from openimpala_tpu.props.effective_diffusivity import effective_diffusivity
+
+    phase = (rng.random((32, 12, 12)) < 0.7).astype(np.int32)
+    mesh = make_mesh(n_devices=8)
+
+    r_lanes = effective_diffusivity(phase, 1, eps=1e-9, mesh=mesh, lanes=True)
+    r_seq = effective_diffusivity(phase, 1, eps=1e-9, mesh=mesh, lanes=False)
+    r_single = effective_diffusivity(phase, 1, eps=1e-9, mesh=None,
+                                     lanes=False)
+
+    assert r_lanes.converged and r_seq.converged
+    np.testing.assert_allclose(r_lanes.deff, r_seq.deff, rtol=0, atol=1e-9)
+    np.testing.assert_allclose(r_lanes.deff, r_single.deff, rtol=0, atol=1e-9)
+
+
 @pytest.mark.parametrize("direction", [0, 1])
 def test_tortuosity_from_pre_sharded_volume(tmp_path, rng, direction):
     """The fully device-resident flow-through path: distributed ingest ->
