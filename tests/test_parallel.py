@@ -245,6 +245,35 @@ def test_threshold_sharded_tiff_stream(tmp_path, rng):
     np.testing.assert_array_equal(np.asarray(arr), reader.threshold(127.0))
 
 
+def test_threshold_sharded_tiff_z_partition(tmp_path, rng):
+    """The multi-host Z-page-partitioned ingest (VERDICT r4 #4): forced on
+    a single process, the Z-sharded decode + jitted all-to-all reshard must
+    produce exactly the same X-sharded array as the streaming path —
+    including the X padding and a Z extent not divisible by the mesh."""
+    from PIL import Image
+
+    from openimpala_tpu.io import TiffReader, threshold_sharded
+    from openimpala_tpu.io.ingest import PAD_FILL
+
+    vol = (rng.random((36, 16, 13)) * 255).astype(np.uint8)  # X pad + Z pad
+    pages = [Image.fromarray(vol[:, :, z].T) for z in range(vol.shape[2])]
+    path = tmp_path / "v.tif"
+    pages[0].save(path, save_all=True, append_images=pages[1:])
+    reader = TiffReader(str(path))
+
+    mesh = make_mesh(n_devices=8)
+    arr, shape = threshold_sharded(reader, 127.0, mesh, chunk=3,
+                                   z_partition=True)
+    ref, _ = threshold_sharded(reader, 127.0, mesh, z_partition=False)
+    assert shape == (36, 16, 13)
+    assert arr.shape == ref.shape == (40, 16, 13)
+    assert arr.sharding.is_equivalent_to(ref.sharding, 3)
+    got = np.asarray(arr)
+    np.testing.assert_array_equal(got, np.asarray(ref))
+    np.testing.assert_array_equal(got[:36], reader.threshold(127.0))
+    assert (got[36:] == PAD_FILL).all()
+
+
 def test_sharded_galerkin_mg_matches_single_device(rng):
     """The Galerkin V-cycle under GSPMD sharding (volume sharded along X
     over the 8-device mesh) must produce the same preconditioned residual
