@@ -526,54 +526,56 @@ class GalerkinMGPreconditioner:
     # spacing-anisotropy gate for semi-coarsening, as a ratio of per-axis
     # h^2 = 1/w: axes more than SEMI_THRESHOLD x more weakly coupled than
     # the strongest axis are left un-coarsened at that level.  Measured
-    # (scripts/anisoprobe.py, 160^3 porous blobs, 1e-9): full coarsening
-    # holds to h2 ratio 2 (dx ratio sqrt(2)) but loses monotonically above
-    # (ratio 4: 74 vs 58 iters; 16: 154 vs 74; 64: 343 vs 80), so the gate
-    # sits at 2 — the largest ratio where full coarsening is not yet worse.
+    # (scripts/anisoprobe.py + bench_logs/r5/semi3level.log, 160^3 porous
+    # blobs, flow-through 1e-9, isotropic = 50 iters): at dx=(1,1,4) the
+    # 3-level semi schedule ((0,1),(0,1,2)) takes 46 iters vs full
+    # coarsening's 67; the pure-threshold ((0,1),(0,1)) takes 41 but its
+    # 40x40x160 coarsest makes the auto-scaled Chebyshev solve ~4x dearer
+    # per cycle, so the final step coarsens every eligible axis.  CAUTION
+    # (measured dead end, bench_logs/r5/anisoprobe160*.log): letting the
+    # anisotropic schedule run EXTRA levels (max_levels+1) inverts the win
+    # — 90 iters at dx=(1,1,4), 142 at (1,1,8) — because each additional
+    # PC-Galerkin level re-adds the porous-mask contraction (the same
+    # 3-level invariant BASELINE.md records for isotropic hierarchies).
     SEMI_THRESHOLD = 2.0
 
     @staticmethod
     def _schedule_for(shape, w, max_levels: int):
         """Per-level coarsening axes (PFMG-style semi-coarsening).
 
-        Isotropic, fully-coarsenable shapes reproduce the historical
-        ``max_levels - 1`` full coarsenings exactly (same programs, same
-        compile-cache keys).  Under anisotropic spacing only axes within
-        SEMI_THRESHOLD of the strongest coupling (smallest h^2 = 1/w)
-        coarsen, the hierarchy may run up to two extra levels, and
-        coarsening continues past the cell-reduction target until the
-        coarsest grid's longest axis is small enough for the auto-scaled
-        Chebyshev coarse solve to stay at its isotropic-default cost.
-        A side benefit: volumes with one odd/short axis now still coarsen
-        the remaining axes instead of dropping to a single-level cycle.
+        Exactly ``max_levels - 1`` coarsening steps (the measured 3-level
+        invariant holds for anisotropic hierarchies too — see
+        SEMI_THRESHOLD note).  Isotropic, fully-coarsenable shapes
+        reproduce the historical full coarsenings exactly (same programs,
+        same compile-cache keys).  Under anisotropic spacing only axes
+        within SEMI_THRESHOLD of the strongest coupling (smallest
+        h^2 = 1/w) coarsen, except the LAST step, which coarsens every
+        eligible axis so the coarsest grid stays small enough for the
+        auto-scaled Chebyshev coarse solve to keep its isotropic-default
+        cost.  A side benefit: volumes with one odd/short axis still
+        coarsen the remaining axes instead of dropping to a single-level
+        cycle.
         """
         tau = GalerkinMGPreconditioner.SEMI_THRESHOLD
         h2 = [1.0 / float(wi) for wi in w]
         lo = min(h2)
         h2 = [x / lo for x in h2]
         shape = list(shape)
-        target = 8.0 ** (max_levels - 1)  # coarsest cells <= fine / target
-        cap = (max_levels - 1) if max(h2) <= tau else (max_levels + 1)
+        cap = max_levels - 1
         schedule = []
-        red = 1.0
         while len(schedule) < cap:
             elig = [a for a in range(3) if shape[a] % 2 == 0 and shape[a] >= 8]
             if not elig:
                 break
-            m = min(h2[a] for a in elig)
-            axes = tuple(a for a in elig if h2[a] <= m * tau)
-            if (red >= target and len(axes) == len(elig)
-                    and max(shape) <= 2.5 * red):
-                # anisotropy resolved, cell target met, and the coarsest
-                # Chebyshev solve (degree ~ 1.6*sqrt(0.25)*max(shape)) costs
-                # <= ~2 fine-matvec equivalents — the isotropic default's
-                # operating point
-                break
+            if len(schedule) == cap - 1:
+                axes = tuple(elig)  # final step: resolve all axes
+            else:
+                m = min(h2[a] for a in elig)
+                axes = tuple(a for a in elig if h2[a] <= m * tau)
             schedule.append(axes)
             for a in axes:
                 shape[a] //= 2
                 h2[a] *= 4.0
-                red *= 2.0
         return tuple(schedule)
 
     @classmethod
